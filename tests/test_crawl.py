@@ -1,0 +1,174 @@
+"""Crawl-equivalence, politeness, resume, and Bloom tests (SURVEY.md §5).
+
+The central correctness contract of the north rule:
+ - engine fetch ORDER == sequential simulator order (canonical key, T4)
+ - final URL-seen SET equality (strict)
+ - byte-identical extracted text per URL
+ - per-host politeness budget never exceeded in any round
+ - kill-after-round-k resume reproduces the exact same final state
+"""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from web_scraper_spark.frontier.engine import CrawlConfig, CrawlEngine
+from web_scraper_spark.frontier.simulator import simulate_crawl
+from web_scraper_spark.synth.sitegen import (
+    SiteConfig,
+    build_pages_df,
+    build_robots_df,
+    seed_urls,
+)
+
+CRAWL = CrawlConfig(as_of="2025-12-01T22:30:00", round_seconds=30.0, max_rounds=8)
+
+
+@pytest.fixture(scope="module")
+def crawl_run(spark, site_cfg):
+    pages = build_pages_df(spark, site_cfg).cache()
+    robots = build_robots_df(spark, site_cfg)
+    sd = tempfile.mkdtemp(prefix="crawlstate_")
+    eng = CrawlEngine(spark, pages, robots, sd, CRAWL)
+    results = eng.run(seeds=seed_urls(site_cfg))
+    sim = simulate_crawl(site_cfg, CRAWL, seed_urls(site_cfg))
+    yield eng, results, sim, pages
+    shutil.rmtree(sd, ignore_errors=True)
+
+
+def test_crawl_order_equality(crawl_run):
+    eng, results, sim, _ = crawl_run
+    log = eng.state.read_fetch_log().orderBy("round", "fetch_pos").collect()
+    eng_order = [(r["round"], r["url_canon"], r["status"]) for r in log]
+    sim_order = [(r["round"], r["url_canon"], r["status"]) for r in sim.fetch_log]
+    assert eng_order == sim_order
+    assert len(eng_order) > 50
+
+
+def test_seen_set_equality(crawl_run):
+    eng, results, sim, _ = crawl_run
+    eng_seen = {r["url_canon"] for r in eng.state.read_seen(999).collect()}
+    assert eng_seen == sim.seen
+
+
+def test_byte_identical_text(crawl_run):
+    """Extracted text per URL: engine == simulator == pages.text column."""
+    eng, _, sim, pages = crawl_run
+    log = eng.state.read_fetch_log().filter(
+        (F.col("status") == "crawled") & (F.col("depth") == 2)
+    )
+    eng_content = {r["url_canon"]: r["content"] for r in log.collect()}
+    sim_content = {
+        r["url_canon"]: r["content"]
+        for r in sim.fetch_log
+        if r["status"] == "crawled" and r["depth"] == 2
+    }
+    assert eng_content == sim_content and len(eng_content) > 0
+    # and against the pages table's precomputed text column
+    from web_scraper_spark.urls import canon_url
+
+    ref = {
+        r["c"]: r["text"]
+        for r in pages.select(canon_url(F.col("url")).alias("c"), "text").collect()
+    }
+    for c, content in eng_content.items():
+        assert ref[c] == content
+
+
+def test_politeness_budget_invariant(crawl_run, site_cfg):
+    """No host exceeds floor(round_seconds/crawl_delay) fetches per round."""
+    eng, _, _, _ = crawl_run
+    budgets = {
+        base.split("//")[1]: int(CRAWL.round_seconds // site_cfg.crawl_delay[src])
+        for src, base in site_cfg.hosts.items()
+    }
+    per = (
+        eng.state.read_fetch_log()
+        .groupBy("round", "host")
+        .count()
+        .collect()
+    )
+    for r in per:
+        assert r["count"] <= budgets[r["host"]], (r["round"], r["host"], r["count"])
+
+
+def test_robots_and_excluded_category(crawl_run):
+    """gamma's /video listing is robots-blocked AND category-excluded —
+    no fetched URL may be under it, and no Video-category article fetched."""
+    eng, _, _, _ = crawl_run
+    log = eng.state.read_fetch_log()
+    assert log.filter(F.col("url_canon").contains("/video")).count() == 0
+    assert (
+        log.filter((F.col("source") == "gamma") & (F.col("category_name") == "Video"))
+        .count()
+        == 0
+    )
+
+
+def test_metrics_and_lineage_present(crawl_run):
+    eng, results, _, _ = crawl_run
+    for rr in results:
+        man = eng.state.manifest(rr.round)
+        assert man["metrics"]["fetched"] >= 0
+        assert "frontier" in man["lineage"] and "fetch_log" in man["lineage"]
+        assert sum(man["lineage"]["fetch_log"]) == man["metrics"]["fetched"]
+
+
+def test_resume_reproduces_final_state(spark, site_cfg, crawl_run):
+    """Kill after round 2 (drop later snapshots) → resume → identical
+    final fetch log and seen set, no double-fetch (ST4)."""
+    eng, results, sim, pages = crawl_run
+    robots = build_robots_df(spark, site_cfg)
+    sd2 = tempfile.mkdtemp(prefix="crawlresume_")
+    try:
+        e2 = CrawlEngine(spark, pages, robots, sd2, CRAWL)
+        e2.run(seeds=seed_urls(site_cfg))
+        full_log = [
+            (r["round"], r["url_canon"], r["status"])
+            for r in e2.state.read_fetch_log().orderBy("round", "fetch_pos").collect()
+        ]
+        e2.state.drop_rounds_after(2)
+        assert e2.state.last_committed_round() == 2
+        e3 = CrawlEngine(spark, pages, robots, sd2, CRAWL)
+        e3.run(resume=True)
+        resumed_log = [
+            (r["round"], r["url_canon"], r["status"])
+            for r in e3.state.read_fetch_log().orderBy("round", "fetch_pos").collect()
+        ]
+        assert resumed_log == full_log
+        # no double fetch of sealed URLs
+        crawled = [u for _, u, s in resumed_log if s == "crawled"]
+        assert len(crawled) == len(set(crawled))
+    finally:
+        shutil.rmtree(sd2, ignore_errors=True)
+
+
+def test_bloom_no_false_negatives():
+    import numpy as np
+
+    from web_scraper_spark.frontier.bloom import BloomSpec
+
+    spec = BloomSpec(n_buckets=4, bits_per_bucket=1 << 12, k=5)
+    rng = np.random.default_rng(42)
+    members = rng.integers(-(2**62), 2**62, size=2000, dtype=np.int64)
+    bm = spec.build_bitmap(members)
+    assert spec.maybe_contains(bm, members).all()  # zero false negatives
+    others = rng.integers(-(2**62), 2**62, size=2000, dtype=np.int64)
+    others = np.setdiff1d(others, members)
+    fp = spec.maybe_contains(bm, others).mean()
+    assert fp < 0.9  # loose: bitmap is deliberately small here
+
+
+def test_slot_window_skip_not_seal(crawl_run):
+    """F3: out-of-window articles are logged but never enter `seen`."""
+    eng, _, _, _ = crawl_run
+    log = eng.state.read_fetch_log()
+    skipped = {
+        r["url_canon"]
+        for r in log.filter(F.col("status") == "skipped_out_of_window").collect()
+    }
+    assert skipped  # config chosen so some articles fall outside the slot
+    seen = {r["url_canon"] for r in eng.state.read_seen(999).collect()}
+    assert not (skipped & seen)

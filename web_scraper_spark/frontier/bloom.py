@@ -1,0 +1,114 @@
+"""Partitioned Bloom filter over the URL-seen set (north-rule component).
+
+The ``seen`` table is hash-partitioned into ``n_buckets`` by
+``pmod(url_hash, n_buckets)``. Each bucket maintains a Bloom bitmap built
+distributedly (``applyInPandas`` per bucket, numpy bit ops — vectorized).
+At 10^10 URLs with 256 buckets and 16 MiB bitmaps per bucket this is
+~4 GiB of state total, broadcastable in slices, while the seen table
+itself would be ~1 TB — the point of the filter is that the *probably
+unseen* frontier majority never pays the seen-table anti-join shuffle:
+
+    candidates --bloom--> definitely-new ----------------------\\
+                \\--maybe-seen--> anti-join vs seen (exact) ----- union
+
+False positives only route rows to the exact anti-join (no correctness
+impact); false negatives cannot occur. The reference's analogue is an
+in-memory Python ``set`` rebuilt from CSV on startup
+(CrawlPaperTuoiTre.py:56-67) — exact but single-machine-bound.
+
+Hash scheme: k hash functions derived from the 64-bit ``url_hash`` via
+the standard double-hashing construction h_i = h1 + i*h2 (Kirsch &
+Mitzenmacher 2006, public).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+class BloomSpec:
+    def __init__(self, n_buckets: int = 16, bits_per_bucket: int = 1 << 20, k: int = 5):
+        self.n_buckets = n_buckets
+        self.m = bits_per_bucket  # must be a power of two
+        self.k = k
+        assert self.m & (self.m - 1) == 0, "bits_per_bucket must be a power of 2"
+
+    def _positions(self, hashes: np.ndarray) -> np.ndarray:
+        """(n,) int64 hashes -> (k, n) bit positions via double hashing."""
+        h = hashes.astype(np.uint64)
+        h1 = h & np.uint64(0xFFFFFFFF)
+        h2 = (h >> np.uint64(32)) | np.uint64(1)  # force odd
+        ks = np.arange(self.k, dtype=np.uint64)[:, None]
+        return ((h1[None, :] + ks * h2[None, :]) & np.uint64(self.m - 1)).astype(np.int64)
+
+    def build_bitmap(self, hashes: np.ndarray) -> bytes:
+        bits = np.zeros(self.m // 8, dtype=np.uint8)
+        pos = self._positions(hashes).ravel()
+        np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+        return bits.tobytes()
+
+    def maybe_contains(self, bitmap: bytes, hashes: np.ndarray) -> np.ndarray:
+        """Vectorized membership test -> bool array (True = maybe seen)."""
+        if len(hashes) == 0:
+            return np.zeros(0, dtype=bool)
+        bits = np.frombuffer(bitmap, dtype=np.uint8)
+        pos = self._positions(hashes)
+        hit = (bits[pos >> 3] >> (pos & 7)) & 1
+        return hit.all(axis=0).astype(bool)
+
+    def merge(self, a: bytes, b: bytes) -> bytes:
+        return (
+            np.frombuffer(a, dtype=np.uint8) | np.frombuffer(b, dtype=np.uint8)
+        ).tobytes()
+
+
+def build_bucket_blooms(seen_df, spec: BloomSpec) -> dict[int, bytes]:
+    """seen_df(url_hash long, bucket int) -> {bucket: bitmap} built per
+    bucket with applyInPandas (each bucket's hashes reduced executor-side)."""
+
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(pdf["bucket"].iloc[0])
+        bm = spec.build_bitmap(pdf["url_hash"].to_numpy(dtype=np.int64))
+        return pd.DataFrame({"bucket": [bucket], "bitmap": [bm]})
+
+    rows = (
+        seen_df.select("bucket", "url_hash")
+        .groupBy("bucket")
+        .applyInPandas(per_bucket, schema="bucket int, bitmap binary")
+        .collect()
+    )
+    return {r["bucket"]: bytes(r["bitmap"]) for r in rows}
+
+
+def split_by_bloom(candidates_df, blooms: dict[int, bytes], spec: BloomSpec):
+    """candidates(url_hash, bucket, ...) -> (definitely_new, maybe_seen).
+
+    The bloom dict is broadcast implicitly via closure capture (it is
+    small relative to the seen table by construction); membership runs as
+    a vectorized mapInPandas adding a ``maybe_seen`` flag.
+    """
+    cols = candidates_df.columns
+
+    def flag(it):
+        for pdf in it:
+            hashes = pdf["url_hash"].to_numpy(dtype=np.int64)
+            buckets = pdf["bucket"].to_numpy(dtype=np.int64)
+            out = np.zeros(len(pdf), dtype=bool)
+            for b in np.unique(buckets):
+                bm = blooms.get(int(b))
+                if bm is None:
+                    continue
+                mask = buckets == b
+                out[mask] = spec.maybe_contains(bm, hashes[mask])
+            pdf = pdf.copy()
+            pdf["maybe_seen"] = out
+            yield pdf
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in candidates_df.schema.fields
+    ) + ", maybe_seen boolean"
+    flagged = candidates_df.mapInPandas(flag, schema=schema)
+    new = flagged.filter(~flagged.maybe_seen).select(*cols)
+    maybe = flagged.filter(flagged.maybe_seen).select(*cols)
+    return new, maybe

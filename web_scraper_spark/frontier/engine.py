@@ -1,0 +1,398 @@
+"""Frontier round engine (SURVEY.md §3 E1 / §7 step 4 — the north rule).
+
+Each round is one declarative DataFrame plan, committed atomically:
+
+    frontier ⟕̸ seen (Bloom pre-filter + bucketed anti-join)   [O1: dedup
+        → robots filter (broadcast)                            before fetch]
+        → politeness selection (per-host budget window)
+        → salted repartition (hot-host skew spread)
+        → "fetch" (join against the stored pages table — the sandbox
+           stand-in for the network; a live variant would be a batched
+           HTTP mapInPandas at this exact point)
+        → parse/extract (one mapInPandas pass → articles + outlinks)
+        → slot-window filter with skip-but-don't-seal (F2/F3)
+        → outlink canonicalization + crawl-policy filters (F4/F5/F6)
+        → pagination URL synthesis (H6: sequence+explode, no fetch)
+        → next frontier = carryover ∪ requeued failures ∪ new links
+        → commit(frontier', seen_delta, fetch_log, manifest+lineage)
+
+The loop over rounds is driver-orchestrated batch (a fixpoint over
+snapshots), not Structured Streaming — each round must be one atomic
+multi-table commit (SURVEY.md §7 "Hard parts").
+
+Crawl order: the canonical deterministic key (round, then
+politeness.PRIORITY_ORDER) — SURVEY.md T4. The sequential simulator
+(frontier/simulator.py) reproduces it exactly; tests assert equality of
+both the ordered fetch log and the final URL-seen set.
+"""
+
+from __future__ import annotations
+
+import time as _time
+from dataclasses import dataclass, field
+from datetime import datetime, timedelta
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from web_scraper_spark.frontier.bloom import BloomSpec, build_bucket_blooms, split_by_bloom
+from web_scraper_spark.frontier.politeness import priority_order, robots_filter, select_round
+from web_scraper_spark.frontier.state import CrawlState, FETCH_LOG_SCHEMA, FRONTIER_SCHEMA
+from web_scraper_spark.functions.timeparse import parse_time_col
+from web_scraper_spark.html.udfs import parse_pages
+from web_scraper_spark.urls import canon_url, url_hash, url_host
+
+
+@dataclass
+class CrawlConfig:
+    as_of: str = "2025-12-01T22:30:00"  # parameterized clock (never now())
+    slot_hours: int = 3  # tumbling slot, CrawlPaperTuoiTre.py:21-27
+    round_seconds: float = 60.0  # politeness budget window per round
+    max_rounds: int = 8
+    n_buckets: int = 16
+    salt: int = 8
+    max_fail: int = 3  # retry budget, CrawlPaperTuoiTre.py:105
+    use_bloom: bool = True
+    default_crawl_delay: float = 1.0
+    # F6 — category exclusion (gamma/ZNews shape), CrawlPaperZNews.py:34-40
+    excluded_categories: tuple = ("Video",)
+    sources_by_pos: tuple = ("alpha", "beta", "gamma")  # seed-list order
+
+    def slot_bounds(self) -> tuple[datetime, datetime]:
+        t = datetime.fromisoformat(self.as_of)
+        start = t.replace(hour=(t.hour // self.slot_hours) * self.slot_hours, minute=0, second=0, microsecond=0)
+        return start, start + timedelta(hours=self.slot_hours)
+
+
+@dataclass
+class RoundResult:
+    round: int
+    metrics: dict = field(default_factory=dict)
+
+
+def _with_keys(df: DataFrame, n_buckets: int) -> DataFrame:
+    """Attach url_canon / url_hash / bucket / host derived columns."""
+    return (
+        df.withColumn("url_canon", canon_url(F.col("url")))
+        .withColumn("url_hash", url_hash(F.col("url_canon")))
+        .withColumn("bucket", F.pmod(F.col("url_hash"), F.lit(n_buckets)).cast("int"))
+        .withColumn("host", url_host(F.col("url_canon")))
+    )
+
+
+def seed_frontier(spark: SparkSession, seeds: list[str], cfg: CrawlConfig) -> DataFrame:
+    src_pos = {s: i for i, s in enumerate(cfg.sources_by_pos)}
+    rows = []
+    for u in seeds:
+        host = u.split("/")[2]
+        source = host.split(".")[0]
+        rows.append((u, source, src_pos.get(source, 99)))
+    df = spark.createDataFrame(rows, "url string, source string, source_pos int")
+    return (
+        _with_keys(df, cfg.n_buckets)
+        .withColumn("depth", F.lit(0))
+        .withColumn("category_name", F.lit(""))
+        .withColumn("category_pos", F.lit(-1))
+        .withColumn("page_no", F.lit(0))
+        .withColumn("listing_pos", F.lit(-1))
+        .withColumn("listing_date", F.lit(""))
+        .withColumn("inlinks", F.lit(0).cast("long"))
+        .withColumn("fail_count", F.lit(0))
+        .withColumn("round_added", F.lit(0))
+        .select(*[f.split(" ")[0] for f in FRONTIER_SCHEMA.replace(", ", ",").split(",")])
+    )
+
+
+def prepare_pages(pages: DataFrame) -> DataFrame:
+    """Key the stored pages table by canonical URL (computed once, outside
+    the round loop — at scale this is a materialized column of the table)."""
+    return pages.select(
+        canon_url(F.col("url")).alias("url_canon"), F.col("html")
+    )
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        pages: DataFrame,
+        robots: DataFrame,
+        state_dir: str,
+        cfg: CrawlConfig | None = None,
+    ):
+        self.spark = spark
+        self.cfg = cfg or CrawlConfig()
+        self.state = CrawlState(spark, state_dir, self.cfg.n_buckets)
+        self.pages_keyed = prepare_pages(pages)
+        self.robots = robots
+        self.bloom_spec = BloomSpec(n_buckets=self.cfg.n_buckets, bits_per_bucket=1 << 17)
+
+    # ------------------------------------------------------------------
+
+    def init(self, seeds: list[str]) -> None:
+        """Commit round 0: seed frontier, empty seen/log."""
+        empty_seen = self.spark.createDataFrame([], "url_hash long, bucket int, url_canon string, round int")
+        empty_log = self.spark.createDataFrame([], FETCH_LOG_SCHEMA)
+        fr = seed_frontier(self.spark, seeds, self.cfg)
+        self.state.commit_round(0, fr, empty_seen, empty_log, {"seeded": len(seeds)})
+
+    # ------------------------------------------------------------------
+
+    def run(self, seeds: list[str] | None = None, resume: bool = False) -> list[RoundResult]:
+        last = self.state.last_committed_round()
+        if not resume or last is None:
+            assert seeds is not None, "seeds required for a fresh crawl"
+            self.init(seeds)
+            last = 0
+        results = []
+        fetch_offset = self._fetch_offset(last)
+        for k in range(last + 1, last + 1 + self.cfg.max_rounds):
+            res, n_fetched, n_frontier_next = self._run_round(k, fetch_offset)
+            results.append(res)
+            fetch_offset += n_fetched
+            if n_frontier_next == 0:
+                break
+        return results
+
+    def _fetch_offset(self, upto: int) -> int:
+        log = self.state.read_fetch_log(upto)
+        return log.count()
+
+    # ------------------------------------------------------------------
+
+    def _run_round(self, k: int, fetch_offset: int) -> tuple[RoundResult, int, int]:
+        cfg = self.cfg
+        t0 = _time.monotonic()
+        slot_start, slot_end = cfg.slot_bounds()
+        as_of_date = datetime.fromisoformat(cfg.as_of).date()
+
+        frontier = self.state.read_frontier(k - 1)
+        seen = self.state.read_seen(k - 1)
+
+        # O1: dedup gate strictly before fetch/parse (never rely on Catalyst
+        # to reorder around the opaque parse UDF — SURVEY.md §4)
+        if cfg.use_bloom and k > 1:
+            blooms = build_bucket_blooms(seen, self.bloom_spec)
+            definitely_new, maybe = split_by_bloom(frontier, blooms, self.bloom_spec)
+            maybe_clean = maybe.join(seen, on=["bucket", "url_hash"], how="left_anti")
+            candidates = definitely_new.unionByName(maybe_clean)
+        else:
+            candidates = frontier.join(seen, on=["bucket", "url_hash"], how="left_anti")
+
+        candidates = robots_filter(candidates, self.robots).cache()
+        selected = select_round(
+            candidates, self.robots, cfg.round_seconds, cfg.default_crawl_delay, cfg.salt
+        ).cache()
+
+        # canonical crawl order within the round → global fetch_pos
+        w_order = Window.orderBy(*priority_order())
+        ordered = selected.withColumn(
+            "fetch_pos", F.row_number().over(w_order) + F.lit(fetch_offset)
+        )
+
+        fetched = ordered.join(self.pages_keyed, on="url_canon", how="left").cache()
+        got = fetched.filter(F.col("html").isNotNull())
+        missing = fetched.filter(F.col("html").isNull())
+
+        parsed = parse_pages(
+            got.select(
+                "url", "source", "depth", "category_name", "category_pos",
+                "page_no", "listing_pos", "html",
+            )
+        ).cache()
+
+        articles = (
+            parsed.filter(F.col("rec_type") == "article")
+            .withColumn("publish_ts", parse_time_col(F.col("source"), F.col("time_str")))
+            .withColumn(
+                "in_window",
+                F.col("publish_ts").between(F.lit(slot_start), F.lit(slot_end)),
+            )
+        )
+
+        # fetch_log: every selected URL gets an outcome row (ST2/F3 statuses)
+        art_status = articles.select(
+            "url",
+            F.when(F.col("in_window"), F.lit("crawled"))
+            .otherwise(F.lit("skipped_out_of_window"))
+            .alias("status"),
+            "keyword", "time_str", "title", "content", "publish_ts",
+        )
+        log = (
+            ordered.join(art_status, on="url", how="left")
+            .join(missing.select("url", F.lit("fetch_failed").alias("_miss")), on="url", how="left")
+            .withColumn(
+                "status",
+                F.coalesce(
+                    F.col("_miss"),                                  # fetch failed
+                    F.col("status"),                                 # article outcome
+                    F.when(F.col("depth") < 2, F.lit("crawled")),    # hub pages
+                    F.lit("parse_empty"),
+                ),
+            )
+            .select(
+                F.lit(k).alias("round"), F.col("fetch_pos").cast("long"),
+                "url", "url_canon", "host", "source", "depth",
+                "category_name", "category_pos", "page_no", "listing_pos",
+                "status", "keyword", "time_str", "title", "content",
+                "publish_ts", "fetch_slot_s",
+            )
+        )
+
+        # F3 skip-but-don't-seal: only successful in-window articles and
+        # successfully fetched hub pages (depth<2) enter the seen set
+        sealed = log.filter(F.col("status") == "crawled")
+        seen_delta = sealed.select(
+            F.xxhash64("url_canon").alias("url_hash"),
+            F.pmod(F.xxhash64("url_canon"), F.lit(cfg.n_buckets)).cast("int").alias("bucket"),
+            "url_canon",
+            F.lit(k).alias("round"),
+        )
+
+        frontier_next = self._next_frontier(k, candidates, ordered, missing, parsed, as_of_date)
+
+        n_frontier = frontier.count()
+        n_selected = selected.count()
+        n_log = log.count()
+        n_next = frontier_next.count()
+        n_crawled = sealed.count()
+        wall = _time.monotonic() - t0
+        metrics = {
+            "frontier_in": n_frontier,
+            "selected": n_selected,
+            "fetched": n_log,
+            "crawled": n_crawled,
+            "skipped_out_of_window": n_log - n_crawled,
+            "frontier_next": n_next,
+            "wall_s": round(wall, 3),
+            "urls_per_s": round((n_frontier + n_next) / wall, 1) if wall > 0 else None,
+        }
+        self.state.commit_round(k, frontier_next, seen_delta, log, metrics)
+        candidates.unpersist()
+        selected.unpersist()
+        fetched.unpersist()
+        parsed.unpersist()
+        return RoundResult(k, metrics), n_log, n_next
+
+
+    # ------------------------------------------------------------------
+
+    def _next_frontier(
+        self,
+        k: int,
+        candidates: DataFrame,
+        selected: DataFrame,
+        missing: DataFrame,
+        parsed: DataFrame,
+        as_of_date,
+    ) -> DataFrame:
+        """Next round's queue. Carryover is computed from *candidates*
+        (post seen-anti-join, post robots), so already-fetched and
+        robots-blocked URLs leave the frontier permanently and the
+        fixpoint terminates."""
+        cfg = self.cfg
+        frontier_cols = [f.strip().split(" ")[0] for f in FRONTIER_SCHEMA.split(",")]
+
+        # (a) carryover: candidates not selected this round (budget-deferred)
+        carry = candidates.join(
+            selected.select("url_canon"), on="url_canon", how="left_anti"
+        ).select(*frontier_cols)
+
+        # (b) failed fetches requeue with fail_count+1 (ST7 retry budget)
+        requeue = (
+            missing.withColumn("fail_count", F.col("fail_count") + 1)
+            .filter(F.col("fail_count") < cfg.max_fail)
+            .select(*frontier_cols)
+        )
+
+        # (c) new links from this round's parses
+        src_pos_map = F.create_map(
+            *[x for i, s in enumerate(cfg.sources_by_pos) for x in (F.lit(s), F.lit(i))]
+        )
+        cat_links = (
+            parsed.filter(F.col("rec_type") == "cat_link")
+            # F6: excluded categories (gamma shape)
+            .filter(
+                (F.col("source") != "gamma")
+                | ~F.col("anchor").isin(list(cfg.excluded_categories))
+            )
+            .select(
+                F.col("out_url").alias("url"), "source",
+                F.lit(1).alias("depth"),
+                F.col("anchor").alias("category_name"),
+                "category_pos",
+                F.lit(1).alias("page_no"),
+                F.lit(-1).alias("listing_pos"),
+                F.lit("").alias("listing_date"),
+            )
+        )
+        art_links = (
+            parsed.filter(F.col("rec_type") == "art_link")
+            .select(
+                F.col("out_url").alias("url"), "source",
+                F.lit(2).alias("depth"),
+                "category_name", "category_pos", "page_no", "listing_pos",
+                F.coalesce("listing_date", F.lit("")).alias("listing_date"),
+            )
+            # F4: alpha URL-slug date filter (CrawlPaperTuoiTre.py:176-189)
+            .filter(
+                (F.col("source") != "alpha")
+                | (
+                    F.expr(r"try_to_date(regexp_extract(url, '-(\\d{8})\\d*\\.htm$', 1), 'yyyyMMdd')")
+                    == F.lit(as_of_date)
+                )
+            )
+            # F5: gamma listing-date filter (CrawlPaperZNews.py:218-237)
+            .filter(
+                (F.col("source") != "gamma")
+                | (
+                    F.expr("try_to_date(listing_date, 'dd/MM/yyyy')")
+                    == F.lit(as_of_date)
+                )
+            )
+        )
+        # H6: beta pagination synthesis — sequence+explode, no fetch needed
+        page_links = (
+            parsed.filter((F.col("rec_type") == "page_meta") & (F.col("last_page") > 1))
+            .select(
+                F.explode(F.sequence(F.lit(2), F.col("last_page"))).alias("p"),
+                "url", "source", "category_name", "category_pos",
+            )
+            .select(
+                F.concat(F.col("url"), F.lit("-p"), F.col("p")).alias("url"),
+                "source",
+                F.lit(1).alias("depth"),
+                "category_name", "category_pos",
+                F.col("p").cast("int").alias("page_no"),
+                F.lit(-1).alias("listing_pos"),
+                F.lit("").alias("listing_date"),
+            )
+        )
+
+        new_links = cat_links.unionByName(art_links).unionByName(page_links)
+        new_keyed = _with_keys(new_links, cfg.n_buckets).withColumn(
+            "source_pos", src_pos_map[F.col("source")]
+        )
+        # within-round dedup: first discovery (by canonical order) wins
+        # metadata; inlink count aggregates (priority signal)
+        w = Window.partitionBy("url_canon").orderBy(
+            "source_pos", "category_pos", "page_no", "listing_pos"
+        )
+        new_entries = (
+            new_keyed.withColumn("inlinks", F.count("*").over(Window.partitionBy("url_canon")).cast("long"))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .withColumn("fail_count", F.lit(0))
+            .withColumn("round_added", F.lit(k))
+            .select(*frontier_cols)
+        )
+
+        merged = carry.unionByName(requeue).unionByName(new_entries)
+        # cross-version dedup: keep the earliest-added entry per canonical URL
+        w2 = Window.partitionBy("url_canon").orderBy("round_added", "listing_pos")
+        return (
+            merged.withColumn("_rn", F.row_number().over(w2))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )

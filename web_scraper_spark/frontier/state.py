@@ -1,0 +1,170 @@
+"""Iceberg-style snapshot state store for the crawl (SURVEY.md ST4/S10/S11).
+
+True Iceberg needs its runtime jar (not in this sandbox), so the state
+store implements the same *contract* on plain parquet + manifests:
+
+- every round commits three datasets under ``round=K/``:
+  ``frontier/`` (next round's queue), ``seen_delta/`` (URLs sealed this
+  round, hash-bucketed), ``fetch_log/`` (per-URL outcome + canonical
+  crawl order + extracted fields);
+- a round is visible only once its ``manifest.json`` exists — the
+  manifest is written to a temp name and atomically ``rename``d, so a
+  kill mid-round leaves the previous snapshot intact (atomic multi-table
+  commit per round);
+- the manifest carries per-partition row counts for each dataset
+  (lineage + metrics per north-rule) plus round-level metrics;
+- resume = open the highest round with a manifest; partially written
+  directories from a crashed round are simply overwritten.
+
+The reference's analogues: seen-set rebuilt by re-reading its output CSV
+(CrawlPaperTuoiTre.py:56-67), pickled frontier (``crawler_state.pkl``),
+chunk checkpoint json (create_KG.py:15-30).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+FRONTIER_SCHEMA = (
+    "url string, url_canon string, url_hash long, bucket int, host string, "
+    "source string, source_pos int, depth int, "
+    "category_name string, category_pos int, page_no int, listing_pos int, "
+    "listing_date string, inlinks long, fail_count int, round_added int"
+)
+SEEN_SCHEMA = "url_hash long, bucket int, url_canon string, round int"
+FETCH_LOG_SCHEMA = (
+    "round int, fetch_pos long, url string, url_canon string, host string, "
+    "source string, depth int, category_name string, category_pos int, "
+    "page_no int, listing_pos int, status string, "
+    "keyword string, time_str string, title string, content string, "
+    "publish_ts timestamp, fetch_slot_s double"
+)
+
+
+def _partition_counts(df: DataFrame) -> list[int]:
+    rows = (
+        df.groupBy(F.spark_partition_id().alias("pid")).count().orderBy("pid").collect()
+    )
+    return [r["count"] for r in rows]
+
+
+class CrawlState:
+    def __init__(self, spark: SparkSession, state_dir: str, n_buckets: int = 16):
+        self.spark = spark
+        self.dir = state_dir
+        self.n_buckets = n_buckets
+        os.makedirs(state_dir, exist_ok=True)
+
+    # -- round bookkeeping ---------------------------------------------------
+
+    def _round_dir(self, k: int) -> str:
+        return os.path.join(self.dir, f"round={k:04d}")
+
+    def last_committed_round(self) -> int | None:
+        best = None
+        if not os.path.isdir(self.dir):
+            return None
+        for name in os.listdir(self.dir):
+            if name.startswith("round=") and os.path.exists(
+                os.path.join(self.dir, name, "manifest.json")
+            ):
+                k = int(name.split("=")[1])
+                best = k if best is None else max(best, k)
+        return best
+
+    def manifest(self, k: int) -> dict:
+        with open(os.path.join(self._round_dir(k), "manifest.json")) as f:
+            return json.load(f)
+
+    # -- readers -------------------------------------------------------------
+
+    def read_frontier(self, k: int) -> DataFrame:
+        return self.spark.read.schema(FRONTIER_SCHEMA).parquet(
+            os.path.join(self._round_dir(k), "frontier")
+        )
+
+    def read_seen(self, upto_round: int) -> DataFrame:
+        """Union of all committed seen deltas ≤ upto_round (hash-bucketed).
+
+        At 10^10 scale this is the compaction point: deltas merge into a
+        bucketed base table periodically; the union-of-deltas read is the
+        same logical table either way.
+        """
+        paths = [
+            os.path.join(self._round_dir(i), "seen_delta")
+            for i in range(upto_round + 1)
+            if os.path.exists(os.path.join(self._round_dir(i), "seen_delta"))
+        ]
+        if not paths:
+            return self.spark.createDataFrame([], SEEN_SCHEMA)
+        # each delta is its own bucket-partitioned root → read separately, union
+        from functools import reduce
+
+        dfs = [
+            self.spark.read.schema(SEEN_SCHEMA).parquet(p).select(
+                "url_hash", "bucket", "url_canon", "round"
+            )
+            for p in paths
+        ]
+        return reduce(lambda a, b: a.unionByName(b), dfs)
+
+    def read_fetch_log(self, upto_round: int | None = None) -> DataFrame:
+        upto = self.last_committed_round() if upto_round is None else upto_round
+        paths = [
+            os.path.join(self._round_dir(i), "fetch_log")
+            for i in range(upto + 1)
+            if os.path.exists(os.path.join(self._round_dir(i), "fetch_log"))
+        ]
+        if not paths:
+            return self.spark.createDataFrame([], FETCH_LOG_SCHEMA)
+        return self.spark.read.schema(FETCH_LOG_SCHEMA).parquet(*paths)
+
+    # -- committer -----------------------------------------------------------
+
+    def commit_round(
+        self,
+        k: int,
+        frontier_next: DataFrame,
+        seen_delta: DataFrame,
+        fetch_log: DataFrame,
+        metrics: dict,
+    ) -> dict:
+        rd = self._round_dir(k)
+        os.makedirs(rd, exist_ok=True)
+        lineage = {}
+        # frontier sorted by the canonical priority key within partitions →
+        # the parquet files are priority-ordered (Iceberg sort-order analogue,
+        # SURVEY.md §4: top-priority reads are file-skipping at scale)
+        fr = frontier_next.sortWithinPartitions("depth", "source_pos", "category_pos", "page_no", "listing_pos")
+        fr.write.mode("overwrite").parquet(os.path.join(rd, "frontier"))
+        lineage["frontier"] = _partition_counts(self.read_frontier(k))
+        sd = seen_delta.repartition(F.col("bucket"))
+        sd.write.mode("overwrite").partitionBy("bucket").parquet(
+            os.path.join(rd, "seen_delta")
+        )
+        lineage["seen_delta"] = _partition_counts(
+            self.spark.read.schema(SEEN_SCHEMA).parquet(os.path.join(rd, "seen_delta"))
+        )
+        fetch_log.write.mode("overwrite").parquet(os.path.join(rd, "fetch_log"))
+        lineage["fetch_log"] = _partition_counts(
+            self.spark.read.schema(FETCH_LOG_SCHEMA).parquet(os.path.join(rd, "fetch_log"))
+        )
+        man = {"round": k, "lineage": lineage, "metrics": metrics}
+        fd, tmp = tempfile.mkstemp(dir=rd, prefix=".manifest-")
+        with os.fdopen(fd, "w") as f:
+            json.dump(man, f, indent=1)
+        os.replace(tmp, os.path.join(rd, "manifest.json"))  # atomic commit point
+        return man
+
+    def drop_rounds_after(self, k: int) -> None:
+        """Test/ops helper: simulate a crash by removing snapshots > k."""
+        import shutil
+
+        for name in list(os.listdir(self.dir)):
+            if name.startswith("round=") and int(name.split("=")[1]) > k:
+                shutil.rmtree(os.path.join(self.dir, name))

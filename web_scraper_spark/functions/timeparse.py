@@ -1,0 +1,59 @@
+"""Per-source visible-time parsing (SURVEY.md X3/X4).
+
+The reference normalizes stringly: TuoiTre straight strptime
+(`ConnectAndSave.py:49-50`), VNExpress/ZNews via a 4-step regex chain —
+strip weekday prefix, strip '(GMT+7)', zero-pad day/month — then
+`%d/%m/%Y %H:%M` (`ConnectAndSave.py:52-60`). The engine expresses the
+same normalization as native Catalyst ``regexp_replace`` + ``to_timestamp``
+with non-padded patterns ('d/M/yyyy'), so no padding step is needed and
+the whole chain stays inside whole-stage codegen.
+
+``parse_time_py`` is the sequential twin used by the crawl simulator;
+tests assert column == twin on every generated time string.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def parse_time_col(source_col: Column, ts_col: Column) -> Column:
+    """Parse the visible time string into a timestamp, per source."""
+    # try_to_timestamp ≡ pandas errors='coerce' (ConnectAndSave.py:49) and is
+    # ANSI-mode-safe (plain to_timestamp throws on malformed input in Spark 4)
+    alpha = F.try_to_timestamp(
+        F.regexp_replace(ts_col, r"\s*GMT\+7\s*$", ""), F.lit("dd/MM/yyyy HH:mm")
+    )
+    # beta: 'Thứ X, d/M/yyyy, HH:mm (GMT+7)'  gamma: 'Thứ X, d/M/yyyy HH:mm (GMT+7)'
+    stripped = F.regexp_replace(
+        F.regexp_replace(ts_col, r"^[^,]+,\s*", ""), r"\s*\(GMT\+7\)\s*$", ""
+    )
+    bg = F.coalesce(
+        F.try_to_timestamp(stripped, F.lit("d/M/yyyy, HH:mm")),
+        F.try_to_timestamp(stripped, F.lit("d/M/yyyy HH:mm")),
+    )
+    return F.when(source_col == "alpha", alpha).otherwise(bg)
+
+
+def parse_time_py(source: str, s: str) -> datetime | None:
+    """Sequential twin of :func:`parse_time_col`."""
+    import re
+
+    if not s:
+        return None
+    try:
+        if source == "alpha":
+            return datetime.strptime(re.sub(r"\s*GMT\+7\s*$", "", s), "%d/%m/%Y %H:%M")
+        t = re.sub(r"^[^,]+,\s*", "", s)
+        t = re.sub(r"\s*\(GMT\+7\)\s*$", "", t)
+        for fmt in ("%d/%m/%Y, %H:%M", "%d/%m/%Y %H:%M"):
+            try:
+                return datetime.strptime(t, fmt)
+            except ValueError:
+                continue
+        return None
+    except ValueError:
+        return None
