@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship: the MinHash+LSH near-dup pipeline (the core
+                training-data dedup capability) over sf0.001 documents,
+                joined with quality + fingerprint columns.
+queries()     — one entry per implemented operator family (SURVEY.md §2 +
+                training-data pipeline ops); see web_scraper_spark/queries.py.
+oracle_sql()  — DuckDB twins, value-exact (portable hash60 — see
+                web_scraper_spark/operators/hashing.py).
 """
 
 from __future__ import annotations
@@ -13,26 +15,39 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from web_scraper_spark import queries as _registry
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship on sf0.001: per-document dedup dossier — quality score,
+    fingerprints, and any near-dup partner found by MinHash+LSH."""
+    from pyspark.sql import functions as F
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    quality = _registry.q_quality_scores(spark, sf_dir)
+    prints = _registry.q_doc_fingerprints(spark, sf_dir)
+    pairs = _registry.q_minhash_lsh_pairs(spark, sf_dir)
+    partners = (
+        pairs.select(F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("near_dup"), "jaccard")
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("doc_id"), F.col("doc_a").alias("near_dup"), "jaccard")
+        )
+        .groupBy("doc_id")
+        .agg(F.min("near_dup").alias("near_dup_id"), F.max("jaccard").alias("max_jaccard"))
+    )
+    return (
+        docs.select("doc_id", "lang", "source")
+        .join(quality.select("doc_id", "n_tokens", "quality_score"), "doc_id")
+        .join(prints.select("doc_id", "content_hash", "min_shingle"), "doc_id")
+        .join(partners, "doc_id", "left")
+        .orderBy("doc_id")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _registry.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return _registry.oracle_sql()

@@ -1,0 +1,444 @@
+"""Deduplication operators for a 100 TB document corpus.
+
+Five tiers, cheapest-first — the production pipeline runs them in this
+order so each tier shrinks the candidate set for the next (the staged
+cheap-then-expensive pattern the reference hand-codes at
+relation_extraction.py:175-187, SURVEY.md O6):
+
+1. exact          — md5(normalized text) groupBy; one shuffle, no pairs.
+2. simhash        — 32-bit charge vector; banded candidate pairs, Hamming<=r.
+3. minhash + LSH  — word-shingle MinHash signatures, band-bucket join;
+                    candidates verified with exact Jaccard.
+4. ngram jaccard  — exact Jaccard via shingle inverted index (the verifier,
+                    also usable standalone at small scale).
+5. embedding      — cosine near-dup over an embedding column.
+
+Scale notes (the part that matters at 10^9 docs):
+- Pairs are NEVER formed doc x doc: every pairing goes through an inverted
+  index (shingle -> docs, band -> docs, bucket -> docs) so the shuffle is
+  O(index entries), not O(n^2). A band bucket with B docs emits B(B-1)/2
+  pairs — hot buckets are the skew risk, handled by AQE skew-join plus a
+  bucket-size cap (``max_bucket``) that drops degenerate buckets (identical
+  boilerplate) into the exact-dup tier where they belong.
+- All hashes are the portable hash60 (operators/hashing.py) so the DuckDB
+  oracle verifies VALUES, not just counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from web_scraper_spark.operators.hashing import (
+    hash60_sql,
+    seeded_hash60,
+    seeded_hash60_sql,
+)
+from web_scraper_spark.operators.text import (
+    clean_text,
+    clean_text_sql,
+    tokens,
+    tokens_sql,
+    word_shingles,
+    word_shingles_sql,
+)
+
+SHINGLE_K = 3
+N_MINHASH = 12
+N_BANDS = 4  # 4 bands x 3 rows: P(candidate) = 1-(1-j^3)^4
+
+
+# ---------------------------------------------------------------------------
+# Tier 1 — exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Group by md5(lower(whitespace-normalized text)); keeper = min id.
+
+    One groupBy shuffle on a 32-byte key. At 100 TB this runs with
+    map-side partial aggregation and never materializes text after the
+    hash projection (column pruning drops `text` post-select).
+    """
+    norm = F.lower(clean_text(F.col(text_col)))
+    return (
+        docs.select(F.col(id_col), F.md5(norm).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count("*").cast("bigint").alias("n_copies"),
+        )
+    )
+
+
+def exact_dup_groups_sql(table: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:
+    norm = f"lower({clean_text_sql(text_col)})"
+    return f"""
+        SELECT md5({norm}) AS content_hash,
+               min({id_col}) AS keeper_id,
+               count(*)::BIGINT AS n_copies
+        FROM {table}
+        GROUP BY 1
+    """
+
+
+# ---------------------------------------------------------------------------
+# Shared: per-doc shingle set (inverted-index source)
+# ---------------------------------------------------------------------------
+
+def doc_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, shingle) — DISTINCT word-3-shingles per document."""
+    tok = tokens(F.lower(clean_text(F.col(text_col))))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(word_shingles(tok, SHINGLE_K)).alias("shingle"))
+        .distinct()
+    )
+
+
+def doc_shingles_sql(table: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:
+    tok = tokens_sql(f"lower({clean_text_sql(text_col)})")
+    return f"""
+        SELECT DISTINCT {id_col} AS doc_id, s.shingle AS shingle
+        FROM {table}, unnest({word_shingles_sql(tok, SHINGLE_K)}) AS s(shingle)
+    """
+
+
+# ---------------------------------------------------------------------------
+# Tier 4 — exact n-gram Jaccard via inverted index (also the LSH verifier)
+# ---------------------------------------------------------------------------
+
+def jaccard_pairs(shingles: DataFrame, tau: float = 0.4) -> DataFrame:
+    """All doc pairs with shingle-set Jaccard >= tau.
+
+    Inverted-index self-join: pairs only form where a shingle is shared, so
+    the shuffle is sized by the posting lists, not n^2. Ubiquitous shingles
+    (stop-shingles) create hot postings — at scale, drop postings longer
+    than a cap first (df-based stop-shingle pruning), which only loses
+    pairs whose OTHER shared shingles wouldn't reach tau anyway.
+    """
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    common = (
+        a.join(b, on="shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= tau)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def jaccard_pairs_sql(shingles_cte: str, tau: float = 0.4) -> str:
+    return f"""
+        WITH sh AS ({shingles_cte}),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common)::DOUBLE, 6) AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common)::DOUBLE, 6) >= {tau}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Tier 3 — MinHash signatures + LSH banding
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(shingles: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
+    """(doc_id, mh0..mh{n-1}) — min over the seeded hash family per doc.
+
+    One groupBy over the shingle postings computes ALL n mins in a single
+    shuffle (n aggregate expressions, map-side combined) — never n passes.
+    """
+    aggs = [
+        F.min(seeded_hash60(s, F.col("shingle"))).alias(f"mh{s}")
+        for s in range(n_hashes)
+    ]
+    return shingles.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures_sql(shingles_cte: str, n_hashes: int = N_MINHASH) -> str:
+    cols = ", ".join(
+        f"min({seeded_hash60_sql(s, 'shingle')}) AS mh{s}" for s in range(n_hashes)
+    )
+    return f"WITH sh AS ({shingles_cte}) SELECT doc_id, {cols} FROM sh GROUP BY doc_id"
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    n_hashes: int = N_MINHASH,
+    n_bands: int = N_BANDS,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Band-bucket join: docs agreeing on a whole band become candidates.
+
+    Band key = md5 of the band's minhash values; the (band, key) inverted
+    index self-joins to pairs. `max_bucket` drops pathological buckets
+    (boilerplate clusters) — at 10^9 docs one 10^5-doc bucket would emit
+    5x10^9 pairs; those clusters are exact-dups and tier 1 already has them.
+    """
+    rows = n_hashes // n_bands
+    band_cols = []
+    for band in range(n_bands):
+        members = [F.col(f"mh{band * rows + r}") for r in range(rows)]
+        band_cols.append(
+            F.struct(
+                F.lit(band).alias("band"),
+                F.md5(F.concat_ws(",", *members)).alias("bkey"),
+            )
+        )
+    buckets = signatures.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("b")
+    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey"))
+    w = Window.partitionBy("band", "bkey")
+    buckets = buckets.withColumn("bsize", F.count("*").over(w)).where(
+        F.col("bsize") <= max_bucket
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(b, on=["band", "bkey"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def lsh_candidate_pairs_sql(
+    signatures_cte: str,
+    n_hashes: int = N_MINHASH,
+    n_bands: int = N_BANDS,
+    max_bucket: int = 64,
+) -> str:
+    rows = n_hashes // n_bands
+    band_parts = []
+    for band in range(n_bands):
+        concat = " || ',' || ".join(f"mh{band * rows + r}::VARCHAR" for r in range(rows))
+        band_parts.append(
+            f"SELECT doc_id, {band} AS band, md5({concat}) AS bkey FROM sig"
+        )
+    band_selects = " UNION ALL ".join(band_parts)
+    return f"""
+        WITH sig AS ({signatures_cte}),
+        buckets0 AS ({band_selects}),
+        buckets AS (
+            SELECT * FROM (
+                SELECT doc_id, band, bkey,
+                       count(*) OVER (PARTITION BY band, bkey) AS bsize
+                FROM buckets0
+            ) WHERE bsize <= {max_bucket}
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM buckets a JOIN buckets b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    """
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    tau: float = 0.4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Full tier-3 pipeline: shingles → signatures → LSH candidates →
+    exact-Jaccard verification of candidates only."""
+    sh = doc_shingles(docs, id_col, text_col)
+    sigs = minhash_signatures(sh)
+    cand = lsh_candidate_pairs(sigs)
+    verified = jaccard_pairs(sh, tau)
+    return cand.join(verified, on=["doc_a", "doc_b"]).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+
+
+def minhash_lsh_pairs_sql(table: str = "documents", tau: float = 0.4) -> str:
+    sh_cte = doc_shingles_sql(table)
+    sig_cte = minhash_signatures_sql(sh_cte)
+    cand = lsh_candidate_pairs_sql(sig_cte)
+    ver = jaccard_pairs_sql(sh_cte, tau)
+    return f"""
+        WITH cand AS ({cand}), ver AS ({ver})
+        SELECT cand.doc_a AS doc_a, cand.doc_b AS doc_b, ver.jaccard AS jaccard
+        FROM cand JOIN ver ON cand.doc_a = ver.doc_a AND cand.doc_b = ver.doc_b
+    """
+
+
+# ---------------------------------------------------------------------------
+# Tier 2 — SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """32-bit SimHash per document over whitespace tokens.
+
+    Charge vector as 32 conditional-sum aggregates over the token posting
+    list — one shuffle, map-side combined, no UDF. Bit b of the token's
+    hash60 votes +1/-1; simhash bit b = (vote sum > 0).
+    """
+    tok = tokens(F.lower(clean_text(F.col(text_col))))
+    posts = docs.select(F.col(id_col).alias("doc_id"), F.explode(tok).alias("token"))
+    h = seeded_hash60(0, F.col("token"))
+    charges = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"c{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    charged = posts.groupBy("doc_id").agg(*charges)
+    bits = [
+        F.when(F.col(f"c{b}") > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long"))
+        for b in range(SIMHASH_BITS)
+    ]
+    acc = bits[0]
+    for x in bits[1:]:
+        acc = acc + x
+    return charged.select("doc_id", acc.alias("simhash"))
+
+
+def simhash_sql(table: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:
+    tok = tokens_sql(f"lower({clean_text_sql(text_col)})")
+    h = seeded_hash60_sql(0, "token")
+    charges = ", ".join(
+        f"sum(CASE WHEN (({h} >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS c{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    bit_sum = " + ".join(
+        f"(CASE WHEN c{b} > 0 THEN {2 ** b}::BIGINT ELSE 0::BIGINT END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+        WITH posts AS (
+            SELECT {id_col} AS doc_id, t.token AS token
+            FROM {table}, unnest({tok}) AS t(token)
+        ),
+        charged AS (SELECT doc_id, {charges} FROM posts GROUP BY doc_id)
+        SELECT doc_id, ({bit_sum}) AS simhash FROM charged
+    """
+
+
+def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Candidate pairs by banding the simhash into 4 bytes (pigeonhole: any
+    pair within Hamming distance 3 shares at least one exact byte), then
+    exact Hamming verification with bit_count(xor)."""
+    bands = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftright(F.col("simhash"), i * 8).bitwiseAND(F.lit(255)).alias("bkey"),
+        )
+        for i in range(4)
+    ]
+    buckets = sim.select(
+        "doc_id", "simhash", F.explode(F.array(*bands)).alias("b")
+    ).select("doc_id", "simhash", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    pairs = (
+        a.join(b, on=["band", "bkey"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        pairs.withColumn("hamming", hamming.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def simhash_near_pairs_sql(table: str = "documents", max_hamming: int = 3) -> str:
+    sim_cte = simhash_sql(table)
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {i} AS band, ((simhash >> {i * 8}) & 255) AS bkey FROM sim"
+        for i in range(4)
+    )
+    return f"""
+        WITH sim AS ({sim_cte}),
+        buckets AS ({band_selects}),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.simhash AS sh_a, b.simhash AS sh_b
+            FROM buckets a JOIN buckets b
+              ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b))::INT AS hamming
+        FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Tier 5 — embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def cosine_expr(a, b):
+    """Cosine similarity of two array<double> columns as a pure fold —
+    explicit left-to-right sums so the oracle reproduces the exact IEEE
+    result; rounded to 6 dp."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+    return F.round(dot / (na * nb), 6)
+
+
+def cosine_sql(a: str, b: str) -> str:
+    dot = f"list_sum(list_transform(generate_series(1, len({a})), i -> ({a})[i]::DOUBLE * ({b})[i]::DOUBLE))"
+    na = f"sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE)))"
+    nb = f"sqrt(list_sum(list_transform({b}, x -> x::DOUBLE * x::DOUBLE)))"
+    return f"round({dot} / ({na} * {nb}), 6)"
+
+
+def embedding_near_pairs(emb: DataFrame, tau: float = 0.95) -> DataFrame:
+    """Brute-force cosine pairs >= tau (correctness baseline; the scale path
+    is similarity.lsh_ann — random-hyperplane bucketing — which reuses this
+    verifier inside each bucket)."""
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").cast("array<double>").alias("ea"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").cast("array<double>").alias("eb"),
+    )
+    return (
+        a.crossJoin(b)
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_sim", cosine_expr(F.col("ea"), F.col("eb")))
+        .where(F.col("cos_sim") >= tau)
+        .select("vec_a", "vec_b", "cos_sim")
+    )
+
+
+def embedding_near_pairs_sql(table: str = "embeddings", tau: float = 0.95) -> str:
+    cos = cosine_sql("a.embedding", "b.embedding")
+    return f"""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cos_sim
+        FROM {table} a JOIN {table} b ON a.vec_id < b.vec_id
+        WHERE {cos} >= {tau}
+    """

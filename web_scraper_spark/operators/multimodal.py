@@ -1,0 +1,169 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary + metadata.
+
+The target input table carries ``html:binary``; a training-data pipeline
+extends the same pattern to media payloads. Design (all real and tested):
+
+- media table schema: (media_id bigint, kind string, payload binary,
+  meta struct<mime:string, n_bytes:bigint, width:int, height:int>);
+- cheap metadata ops (size, magic-byte sniff, content hash) are native
+  Column expressions — they run in the scan stage and never leave the JVM;
+- decode / resize / frame-sample run as ``mapInPandas`` over Arrow record
+  batches — the batch boundary is the unit of memory control
+  (``spark.sql.execution.arrow.maxRecordsPerBatch`` caps peak bytes per
+  task at scale, the same lever the crawl parse stage uses).
+
+The actual pixel/sample decode is STUBBED (no image/audio libs in this
+container): ``decode_media`` raises NotImplementedError unless
+``fake=True``, in which case it emits a deterministic md5-derived feature
+vector with the exact schema/batch shape the real decoder would produce.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id bigint, kind string, payload binary, "
+    "meta struct<mime:string, n_bytes:bigint, width:int, height:int>"
+)
+
+# magic-byte → mime sniff table (native CASE over the first payload bytes)
+_MAGIC = [
+    ("89504e47", "image/png"),
+    ("ffd8ff", "image/jpeg"),
+    ("47494638", "image/gif"),
+    ("49443303", "audio/mpeg"),
+    ("00000018", "video/mp4"),
+]
+
+FEATURE_DIM = 8
+
+
+def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic media table derived from documents: the text bytes act
+    as the opaque payload (what matters is binary-column plumbing, not
+    payload realism). kind cycles image/audio/video by doc_id."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit(None).cast("string").alias("mime"),
+            F.length(payload).cast("bigint").alias("n_bytes"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+        ).alias("meta"),
+    )
+
+
+def sniff_mime(media: DataFrame) -> DataFrame:
+    """Native magic-byte sniff — runs inside the scan's codegen stage."""
+    head = F.lower(F.hex(F.substring(F.col("payload"), 1, 4)))
+    mime = F.lit("application/octet-stream")
+    for magic, m in reversed(_MAGIC):
+        mime = F.when(head.startswith(magic), F.lit(m)).otherwise(mime)
+    return media.withColumn("sniffed_mime", mime)
+
+
+def media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """queries() entry: native metadata aggregation over the binary column
+    (payload size + content hash distribution per kind) — proves the
+    binary column is scanned, pruned and hashed JVM-side."""
+    media = synth_media(spark, sf_dir)
+    return (
+        media.select(
+            "kind",
+            F.length("payload").cast("bigint").alias("n_bytes"),
+            F.md5("payload").alias("content_hash"),
+        )
+        .groupBy("kind")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+            F.round(F.avg("n_bytes"), 4).alias("avg_bytes"),
+            F.countDistinct("content_hash").alias("n_distinct"),
+        )
+    )
+
+
+def media_stats_sql() -> str:
+    """Oracle twin of media_stats over the documents view (encode() is a
+    byte-identity for the synthetic corpus text)."""
+    return """
+        WITH media AS (
+            SELECT doc_id AS media_id,
+                   ['image','audio','video'][(doc_id % 3 + 1)::INT] AS kind,
+                   encode(text) AS payload,
+                   md5(text) AS content_hash
+            FROM documents
+        )
+        SELECT kind,
+               count(*) AS n_items,
+               sum(octet_length(payload))::BIGINT AS total_bytes,
+               round(avg(octet_length(payload)), 4) AS avg_bytes,
+               count(DISTINCT content_hash) AS n_distinct
+        FROM media GROUP BY kind
+    """
+
+
+def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
+    """Decode/feature-extract stage: mapInPandas over Arrow batches.
+
+    Real decoders (PIL/ffmpeg/librosa) are not in this container — with
+    fake=False the UDF raises NotImplementedError on first batch. With
+    fake=True it emits a deterministic 8-dim md5-derived feature vector,
+    exercising the identical schema, partitioning and batch shape.
+    """
+    out_schema = (
+        "media_id bigint, kind string, n_bytes bigint, "
+        f"features array<double>"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            if not fake:
+                raise NotImplementedError(
+                    "media decode requires PIL/ffmpeg/librosa (not in this "
+                    "container); pass fake=True for the deterministic stub"
+                )
+            feats, ids, kinds, sizes = [], [], [], []
+            for row in pdf.itertuples(index=False):
+                payload = bytes(row.payload)
+                digest = hashlib.md5(payload).digest()
+                feats.append(
+                    [round(digest[i] / 255.0, 6) for i in range(FEATURE_DIM)]
+                )
+                ids.append(row.media_id)
+                kinds.append(row.kind)
+                sizes.append(len(payload))
+            yield pd.DataFrame(
+                {"media_id": ids, "kind": kinds, "n_bytes": sizes, "features": feats}
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        batches, schema=out_schema
+    )
+
+
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """queries() entry: the fake-decode path — per-kind mean feature vector
+    (what an embedding-quality monitor would compute post-decode)."""
+    media = synth_media(spark, sf_dir)
+    feats = decode_media(media, fake=True)
+    dims = [
+        F.round(F.avg(F.element_at("features", i + 1)), 6).alias(f"f{i}_mean")
+        for i in range(FEATURE_DIM)
+    ]
+    return feats.groupBy("kind").agg(F.count("*").alias("n_items"), *dims)

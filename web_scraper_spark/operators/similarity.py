@@ -1,0 +1,187 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Two paths:
+- brute_topk: exact cosine top-k (the correctness baseline; also the right
+  plan when the query set is small — queries broadcast, one pass over the
+  corpus, per-partition top-k via window rank under AQE).
+- lsh_ann: random-hyperplane LSH (SimHash-for-vectors). Each vector gets a
+  B-bit signature (sign of <v, h_p> for B deterministic pseudo-random
+  hyperplanes); vectors sharing a signature bucket are candidates, scored
+  exactly within the bucket. At 10^9 vectors the bucket join replaces the
+  O(n*q) scan with O(bucket-size * q); multiple independent tables
+  (``n_tables``) recover recall the way standard LSH theory prescribes.
+
+The hyperplanes are hash-derived (hash60 of (table, plane, dim) mapped to
+[-1000, 1000] / 1000), so the DuckDB oracle can reproduce the exact same
+planes — no RNG state, no numpy on the driver, deterministic across
+engines and cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from web_scraper_spark.operators.dedup import cosine_expr, cosine_sql
+
+N_PLANES = 8
+
+
+def brute_topk(emb: DataFrame, n_queries: int = 5, k: int = 10) -> DataFrame:
+    """Exact top-k neighbors for each query vector (vec_id < n_queries).
+
+    The query side is dimension-sized → broadcast, so the only shuffle is
+    the final per-query top-k (a window over rank, partial top-k pushed
+    map-side by AQE's partial aggregation of sort-limit).
+    """
+    q = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", cosine_expr(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def brute_topk_sql(table: str = "embeddings", n_queries: int = 5, k: int = 10) -> str:
+    cos = cosine_sql("q.embedding", "c.embedding")
+    return f"""
+        WITH scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cos_sim
+            FROM {table} q JOIN {table} c ON q.vec_id != c.vec_id
+            WHERE q.vec_id < {n_queries}
+        )
+        SELECT query_id, neighbor_id, cos_sim, rank::INT AS rank FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+            ) AS rank
+            FROM scored
+        ) WHERE rank <= {k}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH
+# ---------------------------------------------------------------------------
+
+EMB_DIM = 64
+
+
+def plane_weights_py(table_no: int, plane: int, dim: int = EMB_DIM) -> list[float]:
+    """Deterministic pseudo-random hyperplane in [-1, 1]^dim: hash60 of the
+    (table, plane, dim-index) triple, reduced mod 2001, centered and scaled.
+    Exact multiples of 0.001, so the literal round-trips identically through
+    Spark and DuckDB SQL text. Computed ONCE on the driver and inlined as a
+    literal array — never per row (1000x cheaper than hashing in-plan)."""
+    from web_scraper_spark.operators.hashing import hash60_py
+
+    return [
+        ((hash60_py(f"t{table_no}_p{plane}_{i}") % 2001) - 1000) / 1000.0
+        for i in range(dim)
+    ]
+
+
+def lsh_signature(vec, table_no: int = 0, n_planes: int = N_PLANES, dim: int = EMB_DIM):
+    """B-bit bucket id: bit p = [ sum_i w(p,i) * v[i] > 0 ]."""
+    acc = F.lit(0).cast("long")
+    for p in range(n_planes):
+        w = F.array(*[F.lit(x) for x in plane_weights_py(table_no, p, dim)])
+        proj = F.aggregate(
+            F.zip_with(vec, w, lambda x, wi: x * wi),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        acc = acc + F.when(proj > 0, F.lit(2 ** p).cast("long")).otherwise(F.lit(0).cast("long"))
+    return acc
+
+
+def lsh_signature_sql(vec: str, table_no: int = 0, n_planes: int = N_PLANES, dim: int = EMB_DIM) -> str:
+    terms = []
+    for p in range(n_planes):
+        w = "[" + ", ".join(repr(x) for x in plane_weights_py(table_no, p, dim)) + "]"
+        proj = (
+            f"list_sum(list_transform(generate_series(1, len({vec})), "
+            f"i -> ({vec})[i]::DOUBLE * ({w})[i]))"
+        )
+        terms.append(f"(CASE WHEN ({proj}) > 0 THEN {2 ** p}::BIGINT ELSE 0::BIGINT END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def lsh_buckets(emb: DataFrame, n_tables: int = 2, n_planes: int = N_PLANES) -> DataFrame:
+    """(vec_id, tbl, bucket) assignment across independent LSH tables."""
+    vec = F.col("embedding").cast("array<double>")
+    sigs = [
+        F.struct(F.lit(t).alias("tbl"), lsh_signature(vec, t, n_planes).alias("bucket"))
+        for t in range(n_tables)
+    ]
+    return emb.select(
+        "vec_id", F.explode(F.array(*sigs)).alias("s")
+    ).select("vec_id", F.col("s.tbl").alias("tbl"), F.col("s.bucket").alias("bucket"))
+
+
+def lsh_buckets_sql(table: str = "embeddings", n_tables: int = 2, n_planes: int = N_PLANES) -> str:
+    selects = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, {lsh_signature_sql('embedding', t, n_planes)} AS bucket FROM {table}"
+        for t in range(n_tables)
+    )
+    return selects
+
+
+def lsh_ann_pairs(emb: DataFrame, tau: float = 0.9, n_tables: int = 2) -> DataFrame:
+    """Near-neighbor pairs via bucket collision in any table, exact-scored.
+
+    The cross-join disappears: candidates only form inside (tbl, bucket)
+    groups. Hot buckets (dense regions) are the skew case — AQE skew-join
+    splits them; a production variant adds a bucket-size cap like
+    dedup.lsh_candidate_pairs.
+    """
+    buckets = lsh_buckets(emb, n_tables)
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(b, on=["tbl", "bucket"])
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").cast("array<double>").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").cast("array<double>").alias("eb"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn("cos_sim", cosine_expr(F.col("ea"), F.col("eb")))
+        .where(F.col("cos_sim") >= tau)
+        .select("vec_a", "vec_b", "cos_sim")
+    )
+
+
+def lsh_ann_pairs_sql(table: str = "embeddings", tau: float = 0.9, n_tables: int = 2) -> str:
+    cos = cosine_sql("ea.embedding", "eb.embedding")
+    return f"""
+        WITH buckets AS ({lsh_buckets_sql(table, n_tables)}),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM buckets a JOIN buckets b
+              ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+        )
+        SELECT vec_a, vec_b, {cos} AS cos_sim
+        FROM cand
+        JOIN {table} ea ON ea.vec_id = vec_a
+        JOIN {table} eb ON eb.vec_id = vec_b
+        WHERE {cos} >= {tau}
+    """

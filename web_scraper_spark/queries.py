@@ -1,0 +1,518 @@
+"""Driver-contract query registry: (spark callable, DuckDB oracle SQL) pairs.
+
+Every implemented operator from SURVEY.md §2 plus the training-data
+pipeline ops (dedup / similarity / text analysis / multimodal) registers
+here; __spark_entry__.py re-exports. Column names and types are aliased
+identically on both sides — the driver's compare sorts columns by name and
+hashes values, so aliases ARE the contract.
+
+Queries without an oracle (stateful crawl rounds, LDA) are in
+ROWS_ONLY_QUERIES — the driver records the weaker rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from web_scraper_spark.operators import analytics as an
+from web_scraper_spark.operators import dedup as dd
+from web_scraper_spark.operators import multimodal as mm
+from web_scraper_spark.operators import similarity as sim
+from web_scraper_spark.operators.text import (
+    BPE_TOKEN_RE,
+    bpe_token_count,
+    cjk_ratio,
+    cjk_ratio_sql,
+    clean_text,
+    fingerprint_columns,
+    fingerprint_sql,
+    lang_pred,
+    lang_pred_sql,
+    quality_columns,
+    quality_sql,
+    tokens,
+    tokens_sql,
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex) per language."""
+    docs = _docs(spark, sf_dir)
+    tok = tokens(F.col("text"))
+    return (
+        docs.select(
+            "lang",
+            F.size(tok).cast("bigint").alias("ws_tokens"),
+            bpe_token_count(F.col("text")).alias("bpe_tokens"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ws_tokens").cast("bigint").alias("total_ws_tokens"),
+            F.sum("bpe_tokens").cast("bigint").alias("total_bpe_tokens"),
+            F.round(F.avg("ws_tokens"), 4).alias("avg_ws_tokens"),
+        )
+    )
+
+
+TOKEN_STATS_SQL = f"""
+    SELECT lang,
+           count(*) AS n_docs,
+           sum(len({tokens_sql('text')}))::BIGINT AS total_ws_tokens,
+           sum({"len(regexp_extract_all(text, '" + BPE_TOKEN_RE + "'))::BIGINT"})::BIGINT AS total_bpe_tokens,
+           round(avg(len({tokens_sql('text')})), 4) AS avg_ws_tokens
+    FROM documents GROUP BY lang
+"""
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style quality features + composite score per doc."""
+    docs = _docs(spark, sf_dir)
+    cols = quality_columns("text")
+    return docs.select("doc_id", *[v.alias(k) for k, v in cols.items()])
+
+
+_qsql = quality_sql("text")
+QUALITY_SCORES_SQL = (
+    "SELECT doc_id, "
+    + ", ".join(f"{v} AS {k}" for k, v in _qsql.items())
+    + " FROM documents"
+)
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: confusion counts of label vs prediction."""
+    docs = _docs(spark, sf_dir)
+    tok = tokens(clean_text(F.col("text")))
+    pred = lang_pred(tok, cjk_ratio(F.col("text")))
+    return (
+        docs.select("lang", pred.alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+LANG_ID_SQL = f"""
+    SELECT lang,
+           {lang_pred_sql(tokens_sql('text'), cjk_ratio_sql('text'))} AS lang_pred,
+           count(*) AS n_docs
+    FROM documents GROUP BY 1, 2
+"""
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash + min/max shingle-hash fingerprints per doc."""
+    docs = _docs(spark, sf_dir)
+    cols = fingerprint_columns("text")
+    return docs.select("doc_id", *[v.alias(k) for k, v in cols.items()])
+
+
+_fsql = fingerprint_sql("text")
+DOC_FINGERPRINTS_SQL = (
+    "SELECT doc_id, "
+    + ", ".join(f"{v} AS {k}" for k, v in _fsql.items())
+    + " FROM documents"
+)
+
+
+# ---------------------------------------------------------------------------
+# Dedup tiers
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.exact_dup_groups(_docs(spark, sf_dir))
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.minhash_signatures(dd.doc_shingles(_docs(spark, sf_dir)))
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.minhash_lsh_pairs(_docs(spark, sf_dir), tau=0.4)
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.jaccard_pairs(dd.doc_shingles(_docs(spark, sf_dir)), tau=0.4)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.simhash(_docs(spark, sf_dir))
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.simhash_near_pairs(dd.simhash(_docs(spark, sf_dir)), max_hamming=3)
+
+
+def q_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.embedding_near_pairs(_emb(spark, sf_dir), tau=0.28)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+def q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.brute_topk(_emb(spark, sf_dir), n_queries=5, k=10)
+
+
+def q_ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.lsh_ann_pairs(_emb(spark, sf_dir), tau=0.25, n_tables=2)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from web_scraper_spark.operators.multimodal import media_stats
+
+    return media_stats(spark, sf_dir)
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from web_scraper_spark.operators.multimodal import media_features
+
+    return media_features(spark, sf_dir)
+
+
+MEDIA_FEATURES_SQL = (
+    """
+    WITH feats AS (
+        SELECT doc_id AS media_id,
+               ['image','audio','video'][(doc_id % 3 + 1)::INT] AS kind,
+               list_transform(generate_series(0, 7),
+                   i -> round((('0x' || substr(md5(text), i*2+1, 2))::INT) / 255.0, 6)) AS f
+        FROM documents)
+    SELECT kind, count(*) AS n_items, """
+    + ", ".join(f"round(avg(f[{i + 1}]), 6) AS f{i}_mean" for i in range(8))
+    + " FROM feats GROUP BY kind"
+)
+
+
+# ---------------------------------------------------------------------------
+# Rows-only queries (non-SQL-expressible: stateful crawl, ML fit)
+# ---------------------------------------------------------------------------
+
+def q_crawl_fetch_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end crawl over the deterministic synthetic site: runs the
+    full frontier engine (bloom dedup → politeness → fetch-join → parse →
+    window filter → checkpoint) and returns the canonical-ordered fetch
+    log. Stateful + fixpoint → rows-only check; crawl-equivalence vs the
+    sequential simulator is asserted in tests/test_crawl.py."""
+    import tempfile
+
+    from web_scraper_spark.frontier.engine import CrawlConfig, CrawlEngine
+    from web_scraper_spark.synth import build_pages_df, build_robots_df, seed_urls
+    from web_scraper_spark.synth.sitegen import SiteConfig
+
+    site = SiteConfig()
+    cfg = CrawlConfig(as_of="2025-12-01T22:30:00", round_seconds=30.0, max_rounds=6)
+    eng = CrawlEngine(
+        spark,
+        build_pages_df(spark, site).cache(),
+        build_robots_df(spark, site),
+        tempfile.mkdtemp(prefix="crawl_q_"),
+        cfg,
+    )
+    eng.run(seeds=seed_urls(site))
+    return eng.state.read_fetch_log().orderBy("fetch_pos").select(
+        "round", "fetch_pos", "url_canon", "host", "depth", "status", "title"
+    )
+
+
+def q_lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from web_scraper_spark.operators.topics import lda_doc_topics
+
+    return lda_doc_topics(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+def queries() -> dict[str, QueryFn]:
+    return {
+        # relational core (SURVEY §2.2/2.5/2.6/2.7)
+        "q1_pricing_summary": an.q1_pricing_summary,
+        "q3_shipping_priority": an.q3_shipping_priority,
+        "q5_local_suppliers": an.q5_local_suppliers,
+        "top3_parts_per_supplier": an.top3_parts_per_supplier,
+        "top_category_per_group": an.top_category_per_group,
+        "rollup_order_grains": an.rollup_order_grains,
+        "slot_window_events": an.slot_window_events,
+        "date_parts_histogram": an.date_parts_histogram,
+        "seen_anti_join": an.seen_anti_join,
+        "multi_source_union": an.multi_source_union,
+        "assign_ids": an.assign_ids,
+        "md5_cache_key": an.md5_cache_key,
+        "entity_frequency": an.entity_frequency,
+        "valid_entity_filter": an.valid_entity_filter,
+        "sentence_entity_pairs": an.sentence_entity_pairs,
+        "stopword_semijoin": an.stopword_semijoin,
+        "relation_sanitize": an.relation_sanitize,
+        "pagination_expand": an.pagination_expand,
+        "case_insensitive_dedup": an.case_insensitive_dedup,
+        # text analysis
+        "token_stats": q_token_stats,
+        "quality_scores": q_quality_scores,
+        "lang_id": q_lang_id,
+        "doc_fingerprints": q_doc_fingerprints,
+        # dedup
+        "exact_dedup": q_exact_dedup,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
+        "embedding_near_pairs": q_embedding_near_pairs,
+        # similarity search
+        "ann_brute_topk": q_ann_brute_topk,
+        "ann_lsh_pairs": q_ann_lsh_pairs,
+        # multimodal
+        "media_stats": q_media_stats,
+        "media_features": q_media_features,
+        # rows-only
+        "crawl_fetch_log": q_crawl_fetch_log,
+        "lda_topics": q_lda_topics,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    sh_cte = dd.doc_shingles_sql("documents")
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity)::DOUBLE AS sum_qty,
+                   sum(l_extendedprice)::DOUBLE AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_extendedprice), 6) AS avg_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= DATE '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q3_shipping_priority": """
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer
+            JOIN orders ON o_custkey = c_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < DATE '1998-03-15'
+              AND l_shipdate > DATE '1998-03-15'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "q5_local_suppliers": """
+            SELECT n_name AS nation,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+            GROUP BY 1
+            ORDER BY revenue DESC, nation ASC
+        """,
+        "top3_parts_per_supplier": """
+            SELECT l_suppkey, l_partkey, revenue, rank::INT AS rank FROM (
+                SELECT l_suppkey, l_partkey, revenue,
+                       row_number() OVER (
+                           PARTITION BY l_suppkey
+                           ORDER BY revenue DESC, l_partkey ASC) AS rank
+                FROM (
+                    SELECT l_suppkey, l_partkey,
+                           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                    FROM lineitem GROUP BY 1, 2
+                )
+            ) WHERE rank <= 3
+        """,
+        "top_category_per_group": """
+            SELECT lang, source AS top_source, n AS n_docs FROM (
+                SELECT lang, source, count(*) AS n,
+                       row_number() OVER (
+                           PARTITION BY lang ORDER BY count(*) DESC, source ASC) AS rn
+                FROM documents GROUP BY lang, source
+            ) WHERE rn = 1
+        """,
+        "rollup_order_grains": """
+            SELECT coalesce(yr, -1) AS yr, coalesce(qtr, -1) AS qtr,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM (
+                SELECT year(o_orderdate)::INT AS yr,
+                       quarter(o_orderdate)::INT AS qtr,
+                       o_totalprice
+                FROM orders
+            )
+            GROUP BY ROLLUP(yr, qtr)
+        """,
+        "slot_window_events": """
+            SELECT time_bucket(INTERVAL 3 HOURS, ts) AS slot_start, event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "date_parts_histogram": """
+            SELECT year(o_orderdate)::INT AS yr, month(o_orderdate)::INT AS mth,
+                   count(*) AS n_orders
+            FROM orders GROUP BY 1, 2
+        """,
+        "seen_anti_join": """
+            SELECT event_type, count(*) AS n_unseen
+            FROM events e
+            WHERE NOT EXISTS (
+                SELECT 1 FROM events s
+                WHERE s.event_id % 7 = 0 AND s.event_id = e.event_id)
+            GROUP BY 1
+        """,
+        "multi_source_union": """
+            WITH u AS (
+                SELECT 'feed_a' AS feed, n_chars FROM documents WHERE source = 'src0'
+                UNION ALL
+                SELECT 'feed_b' AS feed, n_chars FROM documents WHERE source = 'src1'
+                UNION ALL
+                SELECT 'feed_zh' AS feed, n_chars FROM documents WHERE lang = 'zh'
+            )
+            SELECT feed, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
+            FROM u GROUP BY 1
+        """,
+        "assign_ids": """
+            WITH existing AS (
+                SELECT doc_id, doc_id::BIGINT AS assigned_id
+                FROM documents WHERE doc_id % 3 = 0
+            ),
+            base AS (SELECT coalesce(max(assigned_id), 0) AS b FROM existing),
+            fresh AS (
+                SELECT doc_id,
+                       (row_number() OVER (ORDER BY doc_id) + (SELECT b FROM base))::BIGINT
+                           AS assigned_id
+                FROM documents WHERE doc_id % 3 != 0
+            )
+            SELECT * FROM existing UNION ALL SELECT * FROM fresh
+        """,
+        "md5_cache_key": """
+            SELECT source,
+                   md5(string_agg(md5(text), '|' ORDER BY md5(text))) AS cache_key,
+                   count(*) AS n_docs
+            FROM documents GROUP BY source
+        """,
+        "entity_frequency": f"""
+            WITH tok AS (
+                SELECT doc_id, t.token AS token
+                FROM documents, unnest({tokens_sql('text')}) AS t(token)
+            )
+            SELECT token, count(*) AS freq, count(DISTINCT doc_id) AS n_docs
+            FROM tok GROUP BY token HAVING count(*) >= 50
+        """,
+        "valid_entity_filter": f"""
+            WITH tok AS (
+                SELECT DISTINCT doc_id, t.token AS token
+                FROM documents, unnest({tokens_sql('text')}) AS t(token)
+            )
+            SELECT token, count(*) AS n_docs
+            FROM tok
+            WHERE length(token) >= 2 AND length(token) <= 100
+              AND regexp_matches(token, '[A-Za-z]')
+              AND NOT regexp_matches(token, '^[0-9]+$')
+              AND NOT (repeat(token[1:1], length(token)) = token)
+              AND NOT list_contains(['the','a','of','and','to','in','is','that','for','on','with','as','by','at'], lower(token))
+            GROUP BY token
+        """,
+        "sentence_entity_pairs": f"""
+            WITH tok AS (
+                SELECT DISTINCT doc_id, t.token AS token
+                FROM documents, unnest({tokens_sql('text')}) AS t(token)
+            )
+            SELECT a.token AS e1, b.token AS e2, count(*) AS support
+            FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.token < b.token
+            GROUP BY 1, 2 HAVING count(*) >= 100
+        """,
+        "stopword_semijoin": f"""
+            SELECT doc_id,
+                   len(list_filter({tokens_sql('text')},
+                       x -> NOT list_contains(['the','a','of','and','to','in','is','that','for','on','with','as','by','at'], x))) = 0
+                       AS all_stopwords,
+                   len(list_distinct(list_filter({tokens_sql('text')},
+                       x -> NOT list_contains(['the','a','of','and','to','in','is','that','for','on','with','as','by','at'], x))))::INT
+                       AS n_nonstop_kinds
+            FROM documents
+        """,
+        "relation_sanitize": """
+            SELECT event_id,
+                   CASE WHEN regexp_matches(up, '^[0-9]') THEN 'REL_' || up ELSE up END AS rel_type
+            FROM (
+                SELECT event_id,
+                       upper(regexp_replace(event_type || '-' || (event_id % 3)::VARCHAR,
+                                            '[^a-zA-Z0-9_]', '_', 'g')) AS up
+                FROM events
+            )
+        """,
+        "pagination_expand": """
+            SELECT s_suppkey, p.page_no::INT AS page_no,
+                   'https://example.com/s/' || s_suppkey::VARCHAR || '-p' || p.page_no::VARCHAR AS page_url
+            FROM supplier, unnest(generate_series(1, (s_suppkey % 5 + 1)::INT)) AS p(page_no)
+        """,
+        "case_insensitive_dedup": f"""
+            WITH tok AS (
+                SELECT DISTINCT doc_id,
+                       CASE WHEN doc_id % 2 = 1
+                            THEN upper(t.token[1:1]) || lower(t.token[2:])
+                            ELSE t.token END AS entity
+                FROM documents, unnest({tokens_sql('text')}) AS t(token)
+            ),
+            ents AS (SELECT DISTINCT entity FROM tok)
+            SELECT entity AS canonical_entity FROM (
+                SELECT entity,
+                       row_number() OVER (
+                           PARTITION BY lower(entity)
+                           ORDER BY CASE WHEN regexp_matches(entity, '^[A-Z]') THEN 0 ELSE 1 END,
+                                    entity ASC) AS rn
+                FROM ents
+            ) WHERE rn = 1
+        """,
+        # text analysis
+        "token_stats": TOKEN_STATS_SQL,
+        "quality_scores": QUALITY_SCORES_SQL,
+        "lang_id": LANG_ID_SQL,
+        "doc_fingerprints": DOC_FINGERPRINTS_SQL,
+        # dedup
+        "exact_dedup": dd.exact_dup_groups_sql("documents"),
+        "minhash_signatures": dd.minhash_signatures_sql(sh_cte),
+        "minhash_lsh_pairs": dd.minhash_lsh_pairs_sql("documents", tau=0.4),
+        "ngram_jaccard_pairs": dd.jaccard_pairs_sql(sh_cte, tau=0.4),
+        "simhash": dd.simhash_sql("documents"),
+        "simhash_pairs": dd.simhash_near_pairs_sql("documents", max_hamming=3),
+        "embedding_near_pairs": dd.embedding_near_pairs_sql("embeddings", tau=0.28),
+        # similarity
+        "ann_brute_topk": sim.brute_topk_sql("embeddings", n_queries=5, k=10),
+        "ann_lsh_pairs": sim.lsh_ann_pairs_sql("embeddings", tau=0.25, n_tables=2),
+        # multimodal
+        "media_stats": mm.media_stats_sql(),
+        "media_features": MEDIA_FEATURES_SQL,
+        # crawl_fetch_log / lda_topics: stateful / ML — rows-only by design
+    }
