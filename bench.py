@@ -1,0 +1,228 @@
+"""Benchmark driver: one JSON line on stdout.
+
+    python bench.py             # headline queries at $SPARK_GRAFT_SF_DIR
+                                # (default /root/testdata/sf0.1) on
+                                # local[$SPARK_GRAFT_CPUS] + frontier and
+                                # crawl throughput
+    python bench.py --scaling   # north-rule scaling evidence: the same
+                                # frontier job at local[8] vs local[32],
+                                # throughput at both + efficiency
+
+Headline metric (BASELINE.json north rule): frontier URLs expanded+deduped
+per second. The frontier microbench generates a deterministic synthetic
+frontier with spark.range (no external data), canonicalizes (native
+expression path), hashes, anti-joins a half-size seen set, and runs the
+per-host politeness budget window — the exact hot path of
+frontier/engine.py minus parse (which bench_crawl covers end-to-end).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+
+def _get_spark(cpus: int):
+    from web_scraper_spark.session import get_spark
+
+    return get_spark(
+        app_name=f"bench_{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 8),
+        extra_conf={"spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024)},
+    )
+
+
+# ---------------------------------------------------------------------------
+# Frontier expand+dedup microbench (north-star hot path)
+# ---------------------------------------------------------------------------
+
+def synth_frontier(spark, n_urls: int):
+    """Deterministic synthetic frontier: n_urls URLs over 1000 hosts with a
+    hot-host skew (host 0 gets ~10%), plus query strings and mixed-case
+    spellings so canonicalization has real work."""
+    from pyspark.sql import functions as F
+
+    r = spark.range(n_urls)
+    host_id = F.when(F.col("id") % 10 == 0, F.lit(0)).otherwise(
+        F.pmod(F.xxhash64("id"), F.lit(1000))
+    )
+    return r.select(
+        F.concat(
+            F.lit("HTTP://Host-"),
+            host_id.cast("string"),
+            F.lit(".example.com:80/Path//"),
+            (F.col("id") % 97).cast("string"),
+            F.lit("/article-"),
+            F.col("id").cast("string"),
+            F.lit(".htm?ref=rss#frag"),
+        ).alias("url"),
+        (F.col("id") % 3).cast("int").alias("depth"),
+        F.pmod(F.xxhash64("id") + 7, F.lit(100)).cast("long").alias("inlinks"),
+    )
+
+
+def bench_frontier(spark, n_urls: int = 2_000_000) -> dict:
+    """Expand+dedup+schedule throughput in URLs/s (north-star metric)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from web_scraper_spark.urls import canon_url, url_hash, url_host
+
+    fr = synth_frontier(spark, n_urls)
+    seen = (
+        spark.range(0, n_urls, 2)
+        .select(
+            F.xxhash64(
+                F.concat(F.lit("seen-"), (F.col("id") % (n_urls // 2)).cast("string"))
+            ).alias("url_hash")
+        )
+        .unionByName(
+            # half the seen set actually overlaps the frontier's hash space
+            synth_frontier(spark, n_urls // 4).select(
+                url_hash(canon_url(F.col("url"), percent_decode=False)).alias("url_hash")
+            )
+        )
+    )
+    t0 = time.monotonic()
+    keyed = fr.select(
+        canon_url(F.col("url"), percent_decode=False).alias("url_canon"),
+        "depth",
+        "inlinks",
+    ).select("url_canon", "depth", "inlinks", url_hash(F.col("url_canon")).alias("url_hash"),
+             url_host(F.col("url_canon")).alias("host"))
+    new = keyed.join(seen, on="url_hash", how="left_anti")
+    w = Window.partitionBy("host").orderBy(
+        F.col("depth").asc(), F.col("inlinks").desc(), F.col("url_canon").asc()
+    )
+    selected = (
+        new.withColumn("host_rank", F.row_number().over(w))
+        .where(F.col("host_rank") <= 2000)
+    )
+    n_out = selected.count()
+    wall = time.monotonic() - t0
+    return {"n_urls": n_urls, "n_selected": n_out, "wall_s": round(wall, 3),
+            "urls_per_s": round(n_urls / wall, 1)}
+
+
+def bench_crawl(spark, articles_per_category: int = 150) -> dict:
+    """End-to-end crawl (fetch-join + parse + window filter + checkpoint)
+    over a scaled synthetic site; URLs/s across all rounds."""
+    from web_scraper_spark.frontier.engine import CrawlConfig, CrawlEngine
+    from web_scraper_spark.synth import build_pages_df, build_robots_df, seed_urls
+    from web_scraper_spark.synth.sitegen import SiteConfig
+
+    site = SiteConfig(n_categories=6, articles_per_category=articles_per_category)
+    pages = build_pages_df(spark, site).cache()
+    pages.count()  # materialize the corpus outside the timed section
+    cfg = CrawlConfig(
+        as_of="2025-12-01T22:30:00", round_seconds=3600.0, max_rounds=8,
+    )
+    state_dir = tempfile.mkdtemp(prefix="bench_crawl_")
+    eng = CrawlEngine(spark, pages, build_robots_df(spark, site), state_dir, cfg)
+    t0 = time.monotonic()
+    results = eng.run(seeds=seed_urls(site))
+    wall = time.monotonic() - t0
+    n_fetched = sum(r.metrics["fetched"] for r in results)
+    n_expanded = sum(r.metrics["frontier_in"] + r.metrics["frontier_next"] for r in results)
+    pages.unpersist()
+    return {
+        "rounds": len(results),
+        "fetched": n_fetched,
+        "frontier_urls": n_expanded,
+        "wall_s": round(wall, 3),
+        "urls_per_s": round(n_expanded / wall, 1) if wall else None,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Headline operator queries
+# ---------------------------------------------------------------------------
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_suppliers",
+    "top3_parts_per_supplier",
+    "rollup_order_grains",
+    "slot_window_events",
+    "token_stats",
+    "quality_scores",
+    "doc_fingerprints",
+    "exact_dedup",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "ngram_jaccard_pairs",
+    "embedding_near_pairs",
+    "ann_brute_topk",
+    "ann_lsh_pairs",
+    "media_features",
+]
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    from web_scraper_spark.queries import queries
+
+    qs = queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.monotonic()
+        # count() forces full execution without driver-side collect cost
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.monotonic() - t0, 3)
+    return timings
+
+
+# ---------------------------------------------------------------------------
+
+def run_default() -> dict:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = _get_spark(cpus)
+    spark.range(1000).count()  # JVM warmup
+    timings = bench_queries(spark, sf_dir)
+    frontier = bench_frontier(spark)
+    crawl = bench_crawl(spark)
+    spark.stop()
+    return {
+        "metric": "frontier URLs expanded+deduped per second (synthetic 2M-URL frontier, local mode)",
+        "value": frontier["urls_per_s"],
+        "unit": "urls/s",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "frontier": frontier,
+        "crawl_end_to_end": crawl,
+        "cpus": cpus,
+    }
+
+
+def run_scaling() -> dict:
+    """North-rule evidence: same job at N=8 and 4N=32 cores."""
+    out: dict = {"levels": {}}
+    for cpus in (8, 32):
+        spark = _get_spark(cpus)
+        spark.range(1000).count()
+        frontier = bench_frontier(spark)
+        crawl = bench_crawl(spark)
+        spark.stop()
+        out["levels"][str(cpus)] = {"frontier": frontier, "crawl": crawl}
+    f8 = out["levels"]["8"]["frontier"]["urls_per_s"]
+    f32 = out["levels"]["32"]["frontier"]["urls_per_s"]
+    c8 = out["levels"]["8"]["crawl"]["urls_per_s"]
+    c32 = out["levels"]["32"]["crawl"]["urls_per_s"]
+    out["frontier_scaling_efficiency"] = round(f32 / (4 * f8), 3)
+    out["crawl_scaling_efficiency"] = round(c32 / (4 * c8), 3)
+    out["metric"] = "frontier throughput scaling efficiency, local[8] -> local[32]"
+    out["value"] = out["frontier_scaling_efficiency"]
+    out["unit"] = "efficiency"
+    return out
+
+
+if __name__ == "__main__":
+    result = run_scaling() if "--scaling" in sys.argv else run_default()
+    print(json.dumps(result))

@@ -1,0 +1,158 @@
+"""Unit tests for the operator library (dedup tiers, similarity, text ops,
+multimodal plumbing) with hand-checkable fixtures, plus Spark↔DuckDB↔Python
+hash portability — the property every oracle-checked sketch rests on."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from web_scraper_spark.operators import dedup as dd
+from web_scraper_spark.operators import similarity as sim
+from web_scraper_spark.operators.hashing import hash60, hash60_py, hash60_sql
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog today"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat today"),  # near dup of 1
+        (4, "completely different content about spark partitions and shuffles here"),
+        (5, "aa"),  # degenerate: 2 tokens → no 3-shingles
+        (6, ""),  # empty
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_hash60_portable(spark):
+    samples = ["abc", "the quick", "ünïcode ☃", "a:b:c", ""]
+    sdf = spark.createDataFrame([(s,) for s in samples], "s string")
+    got = {r["s"]: r["h"] for r in sdf.select("s", hash60(F.col("s")).alias("h")).collect()}
+    con = duckdb.connect()
+    for s in samples:
+        assert got[s] == hash60_py(s)
+        assert got[s] == con.execute(f"select {hash60_sql('?')}", [s]).fetchone()[0]
+
+
+def test_exact_dedup_finds_duplicates(docs):
+    groups = {r["keeper_id"]: r["n_copies"] for r in dd.exact_dup_groups(docs).collect()}
+    assert groups[1] == 2  # docs 1 and 2 collapse, min id keeps
+    assert groups[3] == 1
+
+
+def test_shingles_and_jaccard(docs):
+    sh = dd.doc_shingles(docs)
+    by_doc = sh.groupBy("doc_id").count().collect()
+    counts = {r["doc_id"]: r["count"] for r in by_doc}
+    assert counts[1] == 8  # 10 tokens → 8 distinct 3-shingles
+    assert 5 not in counts and 6 not in counts  # degenerate docs drop out
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in dd.jaccard_pairs(sh, 0.2).collect()}
+    assert pairs[(1, 2)] == 1.0
+    # docs 1 vs 3 differ in one token ('dog'→'cat') → the 2 shingles
+    # containing it differ: common = 6, union = 10, j = 0.6
+    assert math.isclose(pairs[(1, 3)], 0.6)
+    assert (1, 4) not in pairs
+
+
+def test_minhash_lsh_pipeline(docs):
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in dd.minhash_lsh_pairs(docs, tau=0.3).collect()}
+    assert got[(1, 2)] == 1.0  # exact dup always collides in every band
+    assert (1, 3) in got  # near dup at j=0.45 should survive 4x3 banding
+    assert all(j >= 0.3 for j in got.values())
+
+
+def test_simhash_properties(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in dd.simhash(docs).collect()}
+    assert sh[1] == sh[2]  # identical text → identical simhash
+    assert 0 <= sh[1] < 2 ** 32
+    ham_13 = bin(sh[1] ^ sh[3]).count("1")
+    ham_14 = bin(sh[1] ^ sh[4]).count("1")
+    assert ham_13 < ham_14  # near dup closer than unrelated doc
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in
+             dd.simhash_near_pairs(dd.simhash(docs), max_hamming=3).collect()}
+    assert pairs[(1, 2)] == 0
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+
+def test_cosine_pairs_exact(emb):
+    pairs = {(r["vec_a"], r["vec_b"]): r["cos_sim"] for r in
+             dd.embedding_near_pairs(emb, tau=-1.1).collect()}
+    assert pairs[(0, 2)] == 0.0
+    assert pairs[(0, 3)] == -1.0
+    expected = 0.9 / math.sqrt(0.81 + 0.01)
+    assert math.isclose(pairs[(0, 1)], round(expected, 6), abs_tol=1e-6)
+
+
+def test_brute_topk_ordering(emb):
+    got = sim.brute_topk(emb, n_queries=1, k=3).collect()
+    order = [r["neighbor_id"] for r in sorted(got, key=lambda r: r["rank"])]
+    assert order == [1, 2, 3]  # by descending cosine to vec 0
+
+
+def test_lsh_ann_recalls_close_pair(spark):
+    # 64-dim so signatures use the real plane dimensionality
+    base = [1.0] + [0.0] * 63
+    near = [1.0, 0.001] + [0.0] * 62  # cos ≈ 0.9999995 → collides in both tables
+    far = [0.0] * 63 + [1.0]
+    emb64 = spark.createDataFrame(
+        [(0, base), (1, near), (2, far)], "vec_id bigint, embedding array<double>"
+    )
+    got = {(r["vec_a"], r["vec_b"]) for r in sim.lsh_ann_pairs(emb64, tau=0.9, n_tables=2).collect()}
+    assert (0, 1) in got
+    assert (0, 2) not in got  # cosine 0 < tau even if bucketed together
+
+
+def test_media_decode_stub(spark):
+    from web_scraper_spark.operators.multimodal import FEATURE_DIM, decode_media
+
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(b"payload-bytes"))],
+        "media_id bigint, kind string, payload binary",
+    )
+    out = decode_media(media, fake=True).collect()
+    assert len(out) == 1 and len(out[0]["features"]) == FEATURE_DIM
+    with pytest.raises(Exception, match="NotImplementedError|media decode"):
+        decode_media(media, fake=False).collect()
+
+
+def test_lang_id_charset_and_markers(spark):
+    from web_scraper_spark.operators.text import cjk_ratio, clean_text, lang_pred, tokens
+
+    rows = [
+        (1, "the cat is in the house and that is fine"),
+        (2, "der hund ist nicht in das haus und zu"),
+        (3, "这是一个中文文档 完全是中文内容 没有别的"),
+        (4, "xyzzy plugh"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    tok = tokens(clean_text(F.col("text")))
+    got = {r["doc_id"]: r["p"] for r in df.select("doc_id", lang_pred(tok, cjk_ratio(F.col("text"))).alias("p")).collect()}
+    assert got[1] == "en"
+    assert got[2] == "de"
+    assert got[3] == "zh"
+    assert got[4] == "und"
+
+
+def test_quality_empty_text_guard(spark):
+    from web_scraper_spark.operators.text import quality_columns
+
+    df = spark.createDataFrame([(1, ""), (2, "   ")], "doc_id int, text string")
+    cols = quality_columns("text")
+    rows = df.select(cols["n_tokens"].alias("n"), cols["quality_score"].alias("q")).collect()
+    for r in rows:
+        assert r["n"] == 0
+        assert r["q"] is not None and not math.isnan(r["q"])

@@ -261,13 +261,40 @@ def minhash_lsh_pairs(
     text_col: str = "text",
 ) -> DataFrame:
     """Full tier-3 pipeline: shingles → signatures → LSH candidates →
-    exact-Jaccard verification of candidates only."""
-    sh = doc_shingles(docs, id_col, text_col)
+    exact-Jaccard verification of CANDIDATES ONLY.
+
+    The intersection count is computed by joining the candidate pairs back
+    to the shingle postings on both sides — never by running the full
+    inverted-index pair join (that would make LSH pointless at 10^9 docs:
+    the whole reason for banding is that the exact verifier only ever sees
+    the candidate set)."""
+    sh = doc_shingles(docs, id_col, text_col).cache()
     sigs = minhash_signatures(sh)
     cand = lsh_candidate_pairs(sigs)
-    verified = jaccard_pairs(sh, tau)
-    return cand.join(verified, on=["doc_a", "doc_b"]).select(
-        "doc_a", "doc_b", "jaccard"
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle"))
+    common = (
+        cand.join(a, on="doc_a")
+        .join(b, on=["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= tau)
+        .select("doc_a", "doc_b", "jaccard")
     )
 
 
