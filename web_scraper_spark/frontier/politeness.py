@@ -75,8 +75,24 @@ def select_round(
         "crawl_delay", F.coalesce(F.col("crawl_delay"), F.lit(default_crawl_delay))
     )
     budget = F.floor(F.lit(float(round_seconds)) / F.col("crawl_delay"))
+    # Two-phase budget so a hot host never serializes one task:
+    #   phase 1 (salted pre-cap): rank within (host, salt) and keep `budget`
+    #     rows per salt — the global top-`budget` rows of a host are spread
+    #     across salts, and each salt keeps its best `budget`, so every
+    #     globally-selected row survives → phase 2's result is EXACTLY the
+    #     single-window result, but the big window now sees ≤ salt*budget
+    #     rows per host instead of the host's whole frontier.
+    w_pre = Window.partitionBy(
+        "host", F.pmod(F.col("url_hash"), F.lit(salt))
+    ).orderBy(*priority_order())
+    precapped = (
+        with_delay.withColumn("_pre_rank", F.row_number().over(w_pre))
+        .filter(F.col("_pre_rank") <= budget)
+        .drop("_pre_rank")
+    )
+    # phase 2 (exact): the per-host invariant, enforced unsalted
     w = Window.partitionBy("host").orderBy(*priority_order())
-    ranked = with_delay.withColumn("host_rank", F.row_number().over(w))
+    ranked = precapped.withColumn("host_rank", F.row_number().over(w))
     selected = ranked.filter(F.col("host_rank") <= budget).withColumn(
         "fetch_slot_s", (F.col("host_rank") - 1) * F.col("crawl_delay")
     )

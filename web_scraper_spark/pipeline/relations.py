@@ -1,0 +1,134 @@
+"""Relation-extraction stage (SURVEY.md E3 stage 3 / relation_extraction.py).
+
+Hybrid classifier, staged by cost (O6, relation_extraction.py:175-187):
+
+1. regex tier — native ``rlike`` against a pattern vocabulary (the
+   reference ships a 19-type × ~1,121-pattern JSON; the engine treats the
+   vocab as runtime CONFIG — ``RelationVocab`` loads any {rel_type:
+   [patterns]} dict; a small built-in English vocab serves tests).
+   First-matching-type-wins, in deterministic vocab order.
+2. LLM tier — only sentences the regex tier could not classify, deduped
+   first (ST8), batched through ``mapInPandas``. The external call is
+   stubbed (no network): the default ``classify_fn`` returns 'RELATED_TO',
+   deterministic; a real deployment injects the API call + key-rotation
+   (O9) inside the same UDF.
+
+Edges: per sentence, unordered entity pairs (J5) via the sentence-grouped
+self-join; typed-edge dedup keeps the first example sentence per
+(e1, e2, rel) — first-writer-wins (S9, relation_extraction.py:229-236).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Built-in mini-vocab (mechanism demo; production loads the full JSON vocab
+# as config — same structure as the reference's relation_vocab.json)
+DEFAULT_VOCAB: dict[str, list[str]] = {
+    "CAUSE_EFFECT": [r"\bbecause\b", r"\bdue to\b", r"\bcauses?\b", r"\bslow\b"],
+    "TEMPORAL": [r"\bbefore\b", r"\bafter\b", r"\bwhen\b", r"\bwindow\b"],
+    "COMPARISON": [r"\bfaster\b", r"\bthan\b", r"\bfast\b"],
+    "DATA_FLOW": [r"\bjoin\b", r"\bmerge\b", r"\bshuffle\b", r"\bstream\b"],
+}
+
+
+def sanitize_rel_type(col: Column) -> Column:
+    """X12 (relation_extraction.py:200-215)."""
+    up = F.upper(F.regexp_replace(col, "[^a-zA-Z0-9_]", "_"))
+    return F.when(up.rlike("^[0-9]"), F.concat(F.lit("REL_"), up)).otherwise(up)
+
+
+def regex_tier(sentence: Column, vocab: dict[str, list[str]] | None = None) -> Column:
+    """First-matching-type-wins CASE chain, fully native (rlike).
+
+    One combined alternation per relation type — at 1,000+ patterns per
+    type this compiles to a single Java regex per type, evaluated inside
+    codegen; no UDF, no shuffle."""
+    vocab = vocab or DEFAULT_VOCAB
+    expr = F.lit(None).cast("string")
+    for rel in reversed(list(vocab)):
+        pat = "|".join(f"(?:{p})" for p in vocab[rel])
+        expr = F.when(F.lower(sentence).rlike(pat), F.lit(rel)).otherwise(expr)
+    return expr
+
+
+def regex_tier_sql(sentence_expr: str, vocab: dict[str, list[str]] | None = None) -> str:
+    vocab = vocab or DEFAULT_VOCAB
+    chain = " ".join(
+        f"WHEN regexp_matches(lower({sentence_expr}), "
+        f"'{'|'.join(f'(?:{p})' for p in pats)}') THEN '{rel}'"
+        for rel, pats in vocab.items()
+    )
+    return f"(CASE {chain} ELSE NULL END)"
+
+
+def _default_classify(batch: pd.Series) -> pd.Series:
+    """LLM-tier stub: deterministic fallback label. A real deployment
+    replaces this with the batched API call (retry ×3 + exponential
+    backoff + key rotation live INSIDE the UDF, per partition — O9/ST7)."""
+    return pd.Series(["RELATED_TO"] * len(batch), index=batch.index)
+
+
+def llm_tier(
+    residual: DataFrame,
+    classify_fn: Callable[[pd.Series], pd.Series] = _default_classify,
+) -> DataFrame:
+    """(sentence) → (sentence, rel_type) for regex-misses only, deduped
+    upstream (ST8). Bounded partitions = bounded API concurrency."""
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {"sentence": pdf["sentence"], "rel_type": classify_fn(pdf["sentence"])}
+            )
+
+    return residual.select("sentence").mapInPandas(
+        run, schema="sentence string, rel_type string"
+    )
+
+
+def classify_sentences(
+    sentences: DataFrame, vocab: dict[str, list[str]] | None = None
+) -> DataFrame:
+    """Hybrid classify: regex tier native; residual → dedup → LLM tier →
+    union. Input (sentence), output (sentence, rel_type)."""
+    tagged = sentences.select(
+        "sentence", regex_tier(F.col("sentence"), vocab).alias("rel_type")
+    )
+    hit = tagged.filter(F.col("rel_type").isNotNull())
+    residual = tagged.filter(F.col("rel_type").isNull()).select("sentence").distinct()
+    return hit.unionByName(llm_tier(residual))
+
+
+def extract_relations(
+    doc_sentences: DataFrame, vocab: dict[str, list[str]] | None = None
+) -> DataFrame:
+    """Full stage: (article_id, sentence, entity) rows → typed edges
+    (e1, e2, rel_type, example) with first-writer-wins examples.
+
+    The entity-pair join is sentence-grouped (A6+J5): pairs form only
+    within one sentence's entity set — the inverted-index shape again."""
+    ents = doc_sentences.select("article_id", "sentence", "entity").distinct()
+    a, b = ents.alias("a"), ents.alias("b")
+    pairs = (
+        a.join(b, on=["article_id", "sentence"])
+        .where(F.col("a.entity") < F.col("b.entity"))
+        .select(
+            F.col("a.entity").alias("e1"),
+            F.col("b.entity").alias("e2"),
+            "sentence",
+        )
+    )
+    classified = classify_sentences(pairs.select("sentence").distinct(), vocab)
+    edges = pairs.join(classified, on="sentence").select(
+        "e1", "e2", sanitize_rel_type(F.col("rel_type")).alias("rel_type"), "sentence"
+    )
+    # S9 first-writer-wins: keep one example per (e1, e2, rel_type),
+    # deterministically (min sentence ≈ first in canonical order)
+    return edges.groupBy("e1", "e2", "rel_type").agg(
+        F.min("sentence").alias("example"), F.count("*").alias("n_sentences")
+    )

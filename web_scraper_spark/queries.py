@@ -27,6 +27,7 @@ from web_scraper_spark.operators.text import (
     cjk_ratio,
     cjk_ratio_sql,
     clean_text,
+    clean_text_sql,
     fingerprint_columns,
     fingerprint_sql,
     lang_pred,
@@ -207,6 +208,191 @@ MEDIA_FEATURES_SQL = (
 
 
 # ---------------------------------------------------------------------------
+# Pipeline stages (E2/E3) + streaming
+# ---------------------------------------------------------------------------
+
+def q_deep_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 10-step clean chain (native; NFC UDF off for the ASCII corpus)."""
+    from web_scraper_spark.pipeline.articles import deep_clean
+
+    return _docs(spark, sf_dir).select("doc_id", deep_clean(F.col("text")).alias("text_clean"))
+
+
+def _deep_clean_sql() -> str:
+    from web_scraper_spark.pipeline.articles import deep_clean_sql
+
+    return f"SELECT doc_id, {deep_clean_sql('text')} AS text_clean FROM documents"
+
+
+def q_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10 sentence split + F12 length gate, position-preserving."""
+    from web_scraper_spark.pipeline.entities import split_sentences
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.posexplode(split_sentences(F.col("text"))).alias("sentence_pos", "sentence"),
+    )
+
+
+def _sentence_split_sql() -> str:
+    from web_scraper_spark.pipeline.entities import split_sentences_sql
+
+    sents = split_sentences_sql("text")
+    return f"""
+        WITH s AS (SELECT doc_id, {sents} AS sents FROM documents)
+        SELECT doc_id, (i - 1)::INT AS sentence_pos, sents[i] AS sentence
+        FROM s, unnest(generate_series(1, len(sents))) AS g(i)
+    """
+
+
+def q_relation_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 stage 3: sentence-grouped entity pairs → hybrid classify →
+    first-writer-wins typed edges. Documents play articles (one sentence =
+    the full text, tokens = entities)."""
+    from web_scraper_spark.operators.text import clean_text, tokens
+    from web_scraper_spark.pipeline.relations import extract_relations
+
+    docs = _docs(spark, sf_dir)
+    doc_sentences = docs.select(
+        F.col("doc_id").alias("article_id"),
+        F.col("text").alias("sentence"),
+        F.explode(tokens(clean_text(F.col("text")))).alias("entity"),
+    ).where(F.length("entity") >= 4)
+    return extract_relations(doc_sentences)
+
+
+def _relation_extract_sql() -> str:
+    from web_scraper_spark.pipeline.relations import regex_tier_sql
+
+    rel = regex_tier_sql("sentence")
+    return f"""
+        WITH ents AS (
+            SELECT DISTINCT doc_id AS article_id, text AS sentence, t.token AS entity
+            FROM documents, unnest({tokens_sql(clean_text_sql('text'))}) AS t(token)
+            WHERE length(t.token) >= 4
+        ),
+        pairs AS (
+            SELECT a.entity AS e1, b.entity AS e2, a.sentence AS sentence
+            FROM ents a JOIN ents b
+              ON a.article_id = b.article_id AND a.sentence = b.sentence
+             AND a.entity < b.entity
+        ),
+        classified AS (
+            SELECT sentence, coalesce({rel}, 'RELATED_TO') AS rel_type
+            FROM (SELECT DISTINCT sentence FROM pairs)
+        )
+        SELECT e1, e2,
+               CASE WHEN regexp_matches(upper(regexp_replace(rel_type, '[^a-zA-Z0-9_]', '_', 'g')), '^[0-9]')
+                    THEN 'REL_' || upper(regexp_replace(rel_type, '[^a-zA-Z0-9_]', '_', 'g'))
+                    ELSE upper(regexp_replace(rel_type, '[^a-zA-Z0-9_]', '_', 'g')) END AS rel_type,
+               min(p.sentence) AS example, count(*) AS n_sentences
+        FROM pairs p JOIN classified USING (sentence)
+        GROUP BY 1, 2, 3
+    """
+
+
+def _kg_frames(spark: SparkSession, sf_dir: str):
+    from web_scraper_spark.operators.text import clean_text, tokens
+
+    docs = _docs(spark, sf_dir)
+    articles = docs.select(
+        F.col("doc_id").alias("article_id"),
+        F.substring("text", 1, 30).alias("title"),
+        "source",
+        F.col("lang").alias("category"),
+    )
+    entities = docs.select(
+        F.col("doc_id").alias("article_id"),
+        F.explode(tokens(clean_text(F.col("text")))).alias("entity"),
+    ).where(F.length("entity") >= 4).distinct()
+    return articles, entities
+
+
+def q_kg_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 stage 2: property-graph build; returns per-label/edge-type
+    cardinalities (the graph loader's manifest)."""
+    from web_scraper_spark.pipeline.kg import build_edges, build_nodes
+
+    articles, entities = _kg_frames(spark, sf_dir)
+    nodes = build_nodes(articles, entities).groupBy("label").agg(F.count("*").alias("n"))
+    edges = build_edges(articles, entities).groupBy("edge_type").agg(F.count("*").alias("n"))
+    return nodes.select(F.col("label").alias("kind"), "n").unionByName(
+        edges.select(F.col("edge_type").alias("kind"), "n")
+    )
+
+
+KG_GRAPH_SQL = f"""
+    WITH ents AS (
+        SELECT DISTINCT doc_id AS article_id, t.token AS entity
+        FROM documents, unnest({{tok}}) AS t(token)
+        WHERE length(t.token) >= 4
+    )
+    SELECT 'Article' AS kind, count(*) AS n FROM documents
+    UNION ALL SELECT 'Source', count(DISTINCT source) FROM documents
+    UNION ALL SELECT 'Category', count(DISTINCT lang) FROM documents
+    UNION ALL SELECT 'Entity', count(DISTINCT entity) FROM ents
+    UNION ALL SELECT 'MENTIONS', count(*) FROM ents
+    UNION ALL SELECT 'PUBLISHED_BY', count(*) FROM documents
+    UNION ALL SELECT 'HAS_CATEGORY', count(*) FROM documents
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (30-min gap) — lag + conditional cumsum."""
+    from web_scraper_spark.streaming.sessionize import sessionize_batch
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize_batch(ev)
+
+
+def q_stream_slot_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST1 as real Structured Streaming (AvailableNow); oracle = the batch
+    3-hour-slot SQL, which the complete-mode stream must equal."""
+    from web_scraper_spark.streaming.windows import stream_slot_counts
+
+    return stream_slot_counts(spark, sf_dir)
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST3 stateful streaming dedup on event_id."""
+    from web_scraper_spark.streaming.windows import stream_dedup_counts
+
+    return stream_dedup_counts(spark, sf_dir)
+
+
+def q_ner_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 stage 1 end-to-end (sentence split → vectorized NER → normalize →
+    validity → dedup → frequency gate). The corpus is lowercase, so a
+    deterministic capitalization (hash-picked tokens) gives the
+    capitalization-fallback tagger real runs to find. Rows-only: the NER
+    UDF is the non-SQL stage."""
+    from web_scraper_spark.operators.hashing import hash60
+    from web_scraper_spark.operators.text import clean_text, tokens
+    from web_scraper_spark.pipeline.entities import extract_entities
+
+    docs = _docs(spark, sf_dir)
+    recased = docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                tokens(clean_text(F.col("text"))),
+                lambda t: F.when(hash60(t) % 5 == 0, F.initcap(t)).otherwise(t),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    return extract_entities(recased, min_freq=2).orderBy("article_id", "entity")
+
+
+def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState sessionization (closed sessions). Rows-only;
+    equality with the batch twin is asserted in tests."""
+    from web_scraper_spark.streaming.sessionize import sessionize_stream
+
+    return sessionize_stream(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
 # Rows-only queries (non-SQL-expressible: stateful crawl, ML fit)
 # ---------------------------------------------------------------------------
 
@@ -288,7 +474,18 @@ def queries() -> dict[str, QueryFn]:
         # multimodal
         "media_stats": q_media_stats,
         "media_features": q_media_features,
+        # pipeline stages (E2/E3)
+        "deep_clean": q_deep_clean,
+        "sentence_split": q_sentence_split,
+        "relation_extract": q_relation_extract,
+        "kg_graph": q_kg_graph,
+        # streaming
+        "sessionize": q_sessionize,
+        "stream_slot_window": q_stream_slot_window,
+        "stream_dedup": q_stream_dedup,
         # rows-only
+        "ner_entities": q_ner_entities,
+        "sessionize_stream": q_sessionize_stream,
         "crawl_fetch_log": q_crawl_fetch_log,
         "lda_topics": q_lda_topics,
     }
@@ -514,5 +711,32 @@ def oracle_sql() -> dict[str, str]:
         # multimodal
         "media_stats": mm.media_stats_sql(),
         "media_features": MEDIA_FEATURES_SQL,
-        # crawl_fetch_log / lda_topics: stateful / ML — rows-only by design
+        # pipeline + streaming
+        "deep_clean": _deep_clean_sql(),
+        "sentence_split": _sentence_split_sql(),
+        "relation_extract": _relation_extract_sql(),
+        "kg_graph": KG_GRAPH_SQL.format(tok=tokens_sql(clean_text_sql("text"))),
+        "sessionize": _sessionize_sql(),
+        "stream_slot_window": oracle_sql_slot_window(),
+        "stream_dedup": """
+            SELECT event_type, count(DISTINCT event_id) AS n_unique
+            FROM events GROUP BY 1
+        """,
+        # ner_entities / sessionize_stream / crawl_fetch_log / lda_topics:
+        # UDF-stateful / ML — rows-only by design
     }
+
+
+def _sessionize_sql() -> str:
+    from web_scraper_spark.streaming.sessionize import sessionize_batch_sql
+
+    return sessionize_batch_sql("events")
+
+
+def oracle_sql_slot_window() -> str:
+    return """
+        SELECT time_bucket(INTERVAL 3 HOURS, ts) AS slot_start, event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2
+    """

@@ -1,0 +1,133 @@
+"""Sessionization: batch (window functions) + streaming-stateful
+(applyInPandasWithState) implementations of the same operator.
+
+A session = a user's maximal event run with gaps < GAP_MINUTES. The batch
+form is pure SQL (lag + conditional cumsum — both engines express it, so
+it is oracle-checked). The streaming form keeps per-user open-session
+state across micro-batches via applyInPandasWithState — the custom
+stateful-operator pattern (SURVEY.md §2.9) the crawl engine's seen-table
+externalizes; tests assert stream == batch on the same input.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+GAP_MINUTES = 30
+
+
+def sessionize_batch(events: DataFrame, gap_minutes: int = GAP_MINUTES) -> DataFrame:
+    """(user_id, session_id, n_events, session_start, session_end) via
+    lag + cumulative sum of boundary flags — one shuffle on user_id."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = gap_minutes * 60
+    # unix_timestamp, not cast: TIMESTAMP_NTZ→BIGINT casts are rejected in
+    # Spark 4's ANSI mode; unix seconds also match DuckDB's epoch()
+    secs = F.unix_timestamp(F.col("ts"))
+    boundary = F.when(secs - F.lag(secs).over(w) > gap_s, 1).otherwise(0)
+    with_sess = events.withColumn(
+        "session_id", F.sum(boundary).over(w).cast("int")
+    )
+    return (
+        with_sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
+def sessionize_batch_sql(table: str = "events", gap_minutes: int = GAP_MINUTES) -> str:
+    gap_s = gap_minutes * 60
+    return f"""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id) > {gap_s}
+                        THEN 1 ELSE 0 END AS boundary
+            FROM {table}
+        ),
+        sess AS (
+            SELECT user_id, ts,
+                   (sum(boundary) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING))::INT AS session_id
+            FROM flagged
+        )
+        SELECT user_id, session_id, count(*) AS n_events,
+               min(ts) AS session_start, max(ts) AS session_end
+        FROM sess GROUP BY 1, 2
+    """
+
+
+SESSION_OUT_SCHEMA = (
+    "user_id bigint, session_id int, n_events bigint, "
+    "session_start timestamp, session_end timestamp"
+)
+SESSION_STATE_SCHEMA = "next_id int, last_ts double, open_count bigint, open_start double"
+
+
+def sessionize_stream(spark: SparkSession, sf_dir: str, gap_minutes: int = GAP_MINUTES) -> DataFrame:
+    """Streaming-stateful sessionize over the events file stream.
+
+    State per user: (next session id, last event ts, open-session count &
+    start). Emits CLOSED sessions as they close; at stream end
+    (AvailableNow + state timeout unused here) the final open session per
+    user is emitted when the state sees no newer event — for the bounded
+    test input every session closes because we append a sentinel flush.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from web_scraper_spark.streaming.windows import (
+        EVENTS_SCHEMA,
+        _run_to_memory,
+        events_stream_dir,
+    )
+
+    gap_s = float(gap_minutes * 60)
+
+    def fn(key: Any, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            next_id, last_ts, open_count, open_start = state.get
+        else:
+            next_id, last_ts, open_count, open_start = 0, None, 0, None
+        closed: list[tuple] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts in pdf["ts"]:
+                t = ts.timestamp()
+                if last_ts is None:
+                    open_count, open_start = 1, t
+                elif t - last_ts > gap_s:
+                    closed.append((user_id, next_id, open_count, open_start, last_ts))
+                    next_id += 1
+                    open_count, open_start = 1, t
+                else:
+                    open_count += 1
+                last_ts = t
+        state.update((next_id, last_ts, open_count, open_start))
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=["user_id", "session_id", "n_events", "session_start", "session_end"],
+            ).astype({"session_start": "datetime64[s]", "session_end": "datetime64[s]"})
+
+    ev = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(events_stream_dir(sf_dir))
+        .select("user_id", "ts", "event_id")
+    )
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(out, "append")
