@@ -20,8 +20,12 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def parse_time_col(source_col: Column, ts_col: Column) -> Column:
-    """Parse the visible time string into a timestamp, per source."""
+def parse_time_col(source_col: Column, ts_col: Column, as_of: Column | None = None) -> Column:
+    """Parse the visible time string into a timestamp, per source.
+
+    ``as_of`` enables the beta relative forms ('X giờ trước', 'X phút
+    trước', 'Hôm qua, HH:MM' — CrawlPaperVNExpress.py:87-104) anchored to
+    a PARAMETER clock, never now() (SURVEY.md §7 determinism)."""
     # try_to_timestamp ≡ pandas errors='coerce' (ConnectAndSave.py:49) and is
     # ANSI-mode-safe (plain to_timestamp throws on malformed input in Spark 4)
     alpha = F.try_to_timestamp(
@@ -35,6 +39,26 @@ def parse_time_col(source_col: Column, ts_col: Column) -> Column:
         F.try_to_timestamp(stripped, F.lit("d/M/yyyy, HH:mm")),
         F.try_to_timestamp(stripped, F.lit("d/M/yyyy HH:mm")),
     )
+    if as_of is not None:
+        hours = F.regexp_extract(ts_col, r"^(\d+) giờ trước$", 1)
+        mins = F.regexp_extract(ts_col, r"^(\d+) phút trước$", 1)
+        yday = F.regexp_extract(ts_col, r"^Hôm qua, (\d{1,2}:\d{2})$", 1)
+        rel = F.when(
+            hours != "", F.timestamp_add("HOUR", -hours.try_cast("int"), as_of)
+        ).when(
+            mins != "", F.timestamp_add("MINUTE", -mins.try_cast("int"), as_of)
+        ).when(
+            yday != "",
+            F.try_to_timestamp(
+                F.concat(
+                    F.date_format(F.date_sub(as_of.cast("date"), 1), "yyyy-MM-dd"),
+                    F.lit(" "),
+                    yday,
+                ),
+                F.lit("yyyy-MM-dd H:mm"),
+            ),
+        )
+        bg = F.coalesce(rel, bg)
     return F.when(source_col == "alpha", alpha).otherwise(bg)
 
 
