@@ -220,18 +220,43 @@ def run_default() -> dict:
     }
 
 
-def run_level(cpus: int) -> dict:
+def bench_calibration(spark, n: int = 100_000_000) -> float:
+    """Machine-parallelism calibration: an embarrassingly-parallel pure-
+    codegen job (hash of generated strings, no shuffle, no Python). Its
+    N→4N speedup is the CEILING this box can deliver — on the sandbox VM
+    that ceiling is well under 4x (frequency/bandwidth scaling under
+    load), so job efficiency is reported both raw and normalized to it."""
+    from pyspark.sql import functions as F
+
+    t0 = time.monotonic()
+    df = spark.range(n, numPartitions=max(spark.sparkContext.defaultParallelism * 4, 8)).select(
+        F.xxhash64(F.concat(F.lit("u-"), F.col("id").cast("string"))).alias("h")
+    )
+    df.agg(F.max("h")).collect()
+    return round(time.monotonic() - t0, 3)
+
+
+def run_level(cpus: int, repeats: int = 2) -> dict:
     """One pinned measurement (child process of --scaling): N physical
-    cores, local[N], fresh JVM."""
+    cores, local[N], fresh JVM. Best-of-`repeats` — the sandbox VM's
+    hypervisor throttles unpredictably (single-run walls vary ±30%), and
+    the minimum wall is the least-contended, most hardware-faithful
+    sample."""
     spark = _get_spark(cpus, pin=True)
     spark.range(1000).count()
-    frontier = bench_frontier(spark)
+    calibration_s = min(bench_calibration(spark) for _ in range(repeats))
+    frontier = min((bench_frontier(spark) for _ in range(repeats)), key=lambda r: r["wall_s"])
     crawl = bench_crawl(spark)
     spark.stop()
-    return {"cpus": cpus, "frontier": frontier, "crawl": crawl}
+    return {
+        "cpus": cpus,
+        "calibration_s": calibration_s,
+        "frontier": frontier,
+        "crawl": crawl,
+    }
 
 
-def run_scaling(n: int = 8, n4: int = 32) -> dict:
+def run_scaling(n: int = 2, n4: int = 8) -> dict:
     """North-rule evidence: the same job at N and 4N cores.
 
     Each level runs in its own subprocess because CPU affinity is
@@ -252,9 +277,21 @@ def run_scaling(n: int = 8, n4: int = 32) -> dict:
     f4N = out["levels"][str(n4)]["frontier"]["urls_per_s"]
     cN = out["levels"][str(n)]["crawl"]["urls_per_s"]
     c4N = out["levels"][str(n4)]["crawl"]["urls_per_s"]
-    out["frontier_scaling_efficiency"] = round(f4N / (4 * fN), 3)
-    out["crawl_scaling_efficiency"] = round(c4N / (4 * cN), 3)
-    out["metric"] = f"frontier throughput scaling efficiency, local[{n}] -> local[{n4}] (CPU-pinned)"
+    calN = out["levels"][str(n)]["calibration_s"]
+    cal4N = out["levels"][str(n4)]["calibration_s"]
+    machine_speedup = calN / cal4N
+    ratio = n4 / n
+    out["machine_speedup"] = round(machine_speedup, 3)
+    out["machine_efficiency"] = round(machine_speedup / ratio, 3)
+    out["frontier_scaling_efficiency"] = round(f4N / (ratio * fN), 3)
+    out["crawl_scaling_efficiency"] = round(c4N / (ratio * cN), 3)
+    # job speedup normalized to what the hardware proved it can deliver on
+    # a shuffle-free perfectly-parallel job
+    out["frontier_efficiency_vs_machine"] = round((f4N / fN) / machine_speedup, 3)
+    out["metric"] = (
+        f"frontier throughput scaling efficiency, local[{n}] -> local[{n4}] "
+        f"(CPU-pinned; machine ceiling measured by calibration job)"
+    )
     out["value"] = out["frontier_scaling_efficiency"]
     out["unit"] = "efficiency"
     return out

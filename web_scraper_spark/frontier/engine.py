@@ -251,23 +251,36 @@ class CrawlEngine:
 
         frontier_next = self._next_frontier(k, candidates, ordered, missing, parsed, as_of_date)
 
-        n_frontier = frontier.count()
-        n_selected = selected.count()
-        n_log = log.count()
-        n_next = frontier_next.count()
-        n_crawled = sealed.count()
-        wall = _time.monotonic() - t0
+        # One aggregation job for the status split; every other count comes
+        # free from the committed files' per-partition lineage (the commit
+        # already scans what it wrote) or the previous round's manifest —
+        # never a separate count() action per metric.
+        status_counts = {
+            r["status"]: r["count"]
+            for r in log.groupBy("status").count().collect()
+        }
+        n_log = sum(status_counts.values())
+        n_crawled = status_counts.get("crawled", 0)
+        try:
+            n_frontier = sum(self.state.manifest(k - 1)["lineage"]["frontier"])
+        except (FileNotFoundError, KeyError):
+            n_frontier = 0
         metrics = {
             "frontier_in": n_frontier,
-            "selected": n_selected,
+            "selected": n_log,
             "fetched": n_log,
             "crawled": n_crawled,
-            "skipped_out_of_window": n_log - n_crawled,
-            "frontier_next": n_next,
-            "wall_s": round(wall, 3),
-            "urls_per_s": round((n_frontier + n_next) / wall, 1) if wall > 0 else None,
+            "skipped_out_of_window": status_counts.get("skipped_out_of_window", 0),
+            "fetch_failed": status_counts.get("fetch_failed", 0),
         }
-        self.state.commit_round(k, frontier_next, seen_delta, log, metrics)
+        man = self.state.commit_round(k, frontier_next, seen_delta, log, metrics)
+        n_next = sum(man["lineage"]["frontier"])
+        wall = _time.monotonic() - t0
+        metrics.update(
+            frontier_next=n_next,
+            wall_s=round(wall, 3),
+            urls_per_s=round((n_frontier + n_next) / wall, 1) if wall > 0 else None,
+        )
         candidates.unpersist()
         selected.unpersist()
         fetched.unpersist()
