@@ -207,6 +207,63 @@ MEDIA_FEATURES_SQL = (
 )
 
 
+def q_keyword_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X14 (ConnectAndSave.py:139-150): packed keyword string → cleaned
+    array via transform/filter HOFs → explode → counts. p_type plays the
+    comma-less packed keyword column (split on space)."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    arr = F.transform(F.split(F.col("p_type"), " "), lambda x: F.lower(F.trim(x)))
+    cleaned = F.filter(arr, lambda x: (x != "") & (x != "null") & (x != "nan"))
+    return (
+        part.select(F.explode(cleaned).alias("keyword"))
+        .groupBy("keyword")
+        .agg(F.count("*").alias("n_parts"))
+    )
+
+
+KEYWORD_SPLIT_SQL = """
+    SELECT keyword, count(*) AS n_parts
+    FROM (
+        SELECT unnest(list_filter(
+            list_transform(string_split(p_type, ' '), x -> lower(trim(x))),
+            x -> x != '' AND x != 'null' AND x != 'nan')) AS keyword
+        FROM part
+    )
+    GROUP BY keyword
+"""
+
+
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: JSON props column → typed field →
+    aggregation (get_json_object stays JVM-side; at scale prefer
+    from_json with an explicit schema for pushdown-friendly columns)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+JSON_PROPS_SQL = """
+    SELECT event_type,
+           count(k) AS n_with_k,
+           round(avg(k), 4) AS avg_k,
+           max(k) AS max_k
+    FROM (
+        SELECT event_type,
+               TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k
+        FROM events
+    )
+    GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Pipeline stages (E2/E3) + streaming
 # ---------------------------------------------------------------------------
@@ -474,6 +531,8 @@ def queries() -> dict[str, QueryFn]:
         # multimodal
         "media_stats": q_media_stats,
         "media_features": q_media_features,
+        "keyword_split": q_keyword_split,
+        "json_props": q_json_props,
         # pipeline stages (E2/E3)
         "deep_clean": q_deep_clean,
         "sentence_split": q_sentence_split,
@@ -711,6 +770,8 @@ def oracle_sql() -> dict[str, str]:
         # multimodal
         "media_stats": mm.media_stats_sql(),
         "media_features": MEDIA_FEATURES_SQL,
+        "keyword_split": KEYWORD_SPLIT_SQL,
+        "json_props": JSON_PROPS_SQL,
         # pipeline + streaming
         "deep_clean": _deep_clean_sql(),
         "sentence_split": _sentence_split_sql(),
