@@ -177,7 +177,11 @@ HEADLINE = [
     "ngram_jaccard_pairs",
     "embedding_near_pairs",
     "ann_brute_topk",
+    "ann_topk_blocked",
     "ann_lsh_pairs",
+    "sessionize",
+    "relation_extract",
+    "stream_slot_window",
     "media_features",
 ]
 

@@ -103,6 +103,18 @@ def test_brute_topk_ordering(emb):
     assert order == [1, 2, 3]  # by descending cosine to vec 0
 
 
+def test_blocked_topk_equals_fold_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    fold = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cos_sim"])
+            for r in sim.brute_topk(emb, n_queries=3, k=5).collect()}
+    fast = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cos_sim"])
+            for r in sim.brute_topk_blocked(emb, n_queries=3, k=5).collect()}
+    assert fold.keys() == fast.keys()
+    for key in fold:
+        assert fold[key][0] == fast[key][0]
+        assert abs(fold[key][1] - fast[key][1]) < 1e-5
+
+
 def test_lsh_ann_recalls_close_pair(spark):
     # 64-dim so signatures use the real plane dimensionality
     base = [1.0] + [0.0] * 63

@@ -1,0 +1,88 @@
+"""Plan-shape regression tests — the 100 TB guarantees, asserted on the
+physical plan so a refactor cannot silently reintroduce a shuffle or lose
+pushdown.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from web_scraper_spark.operators import dedup as dd
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_minhash_signatures_zero_shuffle(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(dd.minhash_signatures_arrays(docs))
+    assert "Exchange" not in plan  # pure narrow map over the scan
+
+
+def test_simhash_zero_shuffle(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(dd.simhash(docs))
+    assert "Exchange" not in plan
+
+
+def test_q1_pushdown_and_pruning(spark, sf_dir):
+    from web_scraper_spark.operators.analytics import q1_pricing_summary
+
+    plan = _plan(q1_pricing_summary(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the scan must not read the unused l_orderkey
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" not in read_schema and "l_quantity" in read_schema
+
+
+def test_q3_broadcasts_dimension(spark, sf_dir):
+    from web_scraper_spark.operators.analytics import q3_shipping_priority
+
+    plan = _plan(q3_shipping_priority(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_two_phase_politeness_equals_single_window(spark):
+    """The salted pre-cap must be output-identical to the plain per-host
+    budget window — including under heavy skew (one hot host)."""
+    from web_scraper_spark.frontier.politeness import select_round
+
+    n = 5000
+    df = spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, F.lit("hot.example"))
+        .otherwise(F.concat(F.lit("h"), (F.col("id") % 50).cast("string"), F.lit(".example")))
+        .alias("host"),
+        F.concat(F.lit("https://x/"), F.col("id").cast("string")).alias("url_canon"),
+        F.xxhash64("id").alias("url_hash"),
+        (F.col("id") % 3).cast("int").alias("depth"),
+        (F.col("id") % 7).cast("long").alias("inlinks"),
+        F.lit(0).alias("source_pos"),
+        F.lit(0).alias("category_pos"),
+        F.lit(0).alias("page_no"),
+        (F.col("id") % 11).cast("int").alias("listing_pos"),
+    )
+    robots = spark.createDataFrame(
+        [("hot.example", 0.5)], "host string, crawl_delay double"
+    ).withColumn("disallow", F.array().cast("array<string>"))
+    two_phase = select_round(df, robots, round_seconds=20.0, default_crawl_delay=1.0, salt=8)
+
+    # plain single-window reference implementation
+    from web_scraper_spark.frontier.politeness import priority_order
+
+    with_delay = df.join(
+        F.broadcast(robots.select("host", "crawl_delay")), on="host", how="left"
+    ).withColumn("crawl_delay", F.coalesce(F.col("crawl_delay"), F.lit(1.0)))
+    budget = F.floor(F.lit(20.0) / F.col("crawl_delay"))
+    w = Window.partitionBy("host").orderBy(*priority_order())
+    plain = (
+        with_delay.withColumn("host_rank", F.row_number().over(w))
+        .filter(F.col("host_rank") <= budget)
+    )
+    got = {(r["host"], r["url_canon"], r["host_rank"]) for r in two_phase.collect()}
+    want = {(r["host"], r["url_canon"], r["host_rank"]) for r in plain.collect()}
+    assert got == want
+    # hot host got exactly its budget (40 fetches at 0.5s delay in 20s)
+    assert sum(1 for h, _, _ in got if h == "hot.example") == 40

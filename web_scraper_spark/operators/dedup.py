@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from web_scraper_spark.operators.hashing import (
+    hash60,
     hash60_sql,
     seeded_hash60,
     seeded_hash60_sql,
@@ -165,11 +166,10 @@ def jaccard_pairs_sql(shingles_cte: str, tau: float = 0.4) -> str:
 # ---------------------------------------------------------------------------
 
 def minhash_signatures(shingles: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
-    """(doc_id, mh0..mh{n-1}) — min over the seeded hash family per doc.
-
-    One groupBy over the shingle postings computes ALL n mins in a single
-    shuffle (n aggregate expressions, map-side combined) — never n passes.
-    """
+    """(doc_id, mh0..mh{n-1}) — min over the seeded hash family per doc,
+    from the postings index (one groupBy shuffle, n aggs map-side
+    combined). Kept for when postings already exist; the ZERO-shuffle path
+    is :func:`minhash_signatures_arrays`."""
     aggs = [
         F.min(seeded_hash60(s, F.col("shingle"))).alias(f"mh{s}")
         for s in range(n_hashes)
@@ -182,6 +182,55 @@ def minhash_signatures_sql(shingles_cte: str, n_hashes: int = N_MINHASH) -> str:
         f"min({seeded_hash60_sql(s, 'shingle')}) AS mh{s}" for s in range(n_hashes)
     )
     return f"WITH sh AS ({shingles_cte}) SELECT doc_id, {cols} FROM sh GROUP BY doc_id"
+
+
+def minhash_signatures_arrays(
+    docs: DataFrame,
+    n_hashes: int = N_MINHASH,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Signatures with NO shuffle: per row, array_min over the hashed
+    shingle ARRAY for each seed — a narrow projection that stays inside
+    the scan's codegen stage. At 10^9 docs this removes the entire
+    postings shuffle from the signature stage (the only shuffle left in
+    the LSH pipeline is the band-bucket join itself). min over a multiset
+    equals min over the set, so no per-doc dedup is needed either."""
+    tok = tokens(F.lower(clean_text(F.col(text_col))))
+    sh = word_shingles(tok, SHINGLE_K)
+
+    def _seeded(seed: int):
+        # single-arg lambda factory (defaulted 2nd param would make the
+        # HOF binder pass the array index into it)
+        return lambda s: hash60(F.concat_ws(":", F.lit(str(seed)), s))
+
+    cols = [
+        F.array_min(F.transform(sh, _seeded(seed))).alias(f"mh{seed}")
+        for seed in range(n_hashes)
+    ]
+    return docs.select(F.col(id_col).alias("doc_id"), *cols).where(
+        F.col("mh0").isNotNull()  # docs with < k tokens have no shingles
+    )
+
+
+def minhash_signatures_arrays_sql(
+    table: str = "documents",
+    n_hashes: int = N_MINHASH,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    tok = tokens_sql(f"lower({clean_text_sql(text_col)})")
+    sh = word_shingles_sql(tok, SHINGLE_K)
+    cols = ", ".join(
+        "list_min(list_transform({sh}, s -> {h})) AS mh{seed}".format(
+            sh=sh, h=hash60_sql(f"'{seed}' || ':' || s"), seed=seed
+        )
+        for seed in range(n_hashes)
+    )
+    return (
+        f"SELECT * FROM (SELECT {id_col} AS doc_id, {cols} FROM {table}) "
+        f"WHERE mh0 IS NOT NULL"
+    )
 
 
 def lsh_candidate_pairs(
@@ -267,9 +316,10 @@ def minhash_lsh_pairs(
     to the shingle postings on both sides — never by running the full
     inverted-index pair join (that would make LSH pointless at 10^9 docs:
     the whole reason for banding is that the exact verifier only ever sees
-    the candidate set)."""
+    the candidate set). Signatures come from the zero-shuffle array path;
+    postings are built only for the verification joins."""
     sh = doc_shingles(docs, id_col, text_col).cache()
-    sigs = minhash_signatures(sh)
+    sigs = minhash_signatures_arrays(docs, id_col=id_col, text_col=text_col)
     cand = lsh_candidate_pairs(sigs)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle"))
@@ -300,7 +350,7 @@ def minhash_lsh_pairs(
 
 def minhash_lsh_pairs_sql(table: str = "documents", tau: float = 0.4) -> str:
     sh_cte = doc_shingles_sql(table)
-    sig_cte = minhash_signatures_sql(sh_cte)
+    sig_cte = minhash_signatures_arrays_sql(table)
     cand = lsh_candidate_pairs_sql(sig_cte)
     ver = jaccard_pairs_sql(sh_cte, tau)
     return f"""
@@ -318,24 +368,30 @@ SIMHASH_BITS = 32
 
 
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """32-bit SimHash per document over whitespace tokens.
+    """32-bit SimHash per document over whitespace tokens — ZERO shuffle.
 
-    Charge vector as 32 conditional-sum aggregates over the token posting
-    list — one shuffle, map-side combined, no UDF. Bit b of the token's
-    hash60 votes +1/-1; simhash bit b = (vote sum > 0).
+    The charge vector is computed per row over the hashed-token ARRAY
+    (one list_sum per bit inside codegen); each token occurrence votes
+    +1/-1 on bit b of its hash60. No explode, no groupBy: at 10^9 docs the
+    whole signature stage is a narrow map over the scan.
     """
     tok = tokens(F.lower(clean_text(F.col(text_col))))
-    posts = docs.select(F.col(id_col).alias("doc_id"), F.explode(tok).alias("token"))
-    h = seeded_hash60(0, F.col("token"))
-    charges = [
-        F.sum(
-            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"c{b}")
-        for b in range(SIMHASH_BITS)
-    ]
-    charged = posts.groupBy("doc_id").agg(*charges)
+    hashes = F.transform(tok, lambda t: seeded_hash60(0, t))
+    charged = docs.select(F.col(id_col).alias("doc_id"), hashes.alias("hs")).where(
+        F.size("hs") > 0
+    )
+    def _charge(b: int):
+        # two-arg merge lambda built by a factory: extra params (even
+        # defaulted) change how pyspark's HOF binder interprets the lambda
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
     bits = [
-        F.when(F.col(f"c{b}") > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long"))
+        F.when(
+            F.aggregate(F.col("hs"), F.lit(0), _charge(b)) > 0,
+            F.lit(2 ** b).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
         for b in range(SIMHASH_BITS)
     ]
     acc = bits[0]
@@ -346,22 +402,19 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
 
 def simhash_sql(table: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:
     tok = tokens_sql(f"lower({clean_text_sql(text_col)})")
-    h = seeded_hash60_sql(0, "token")
-    charges = ", ".join(
-        f"sum(CASE WHEN (({h} >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS c{b}"
-        for b in range(SIMHASH_BITS)
-    )
+    h = seeded_hash60_sql(0, "t")
     bit_sum = " + ".join(
-        f"(CASE WHEN c{b} > 0 THEN {2 ** b}::BIGINT ELSE 0::BIGINT END)"
+        f"(CASE WHEN list_sum(list_transform(hs, t0 -> CASE WHEN ((t0 >> {b}) & 1) = 1 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN {2 ** b}::BIGINT ELSE 0::BIGINT END)"
         for b in range(SIMHASH_BITS)
     )
     return f"""
-        WITH posts AS (
-            SELECT {id_col} AS doc_id, t.token AS token
-            FROM {table}, unnest({tok}) AS t(token)
-        ),
-        charged AS (SELECT doc_id, {charges} FROM posts GROUP BY doc_id)
-        SELECT doc_id, ({bit_sum}) AS simhash FROM charged
+        WITH charged AS (
+            SELECT {id_col} AS doc_id,
+                   list_transform({tok}, t -> {h}) AS hs
+            FROM {table}
+        )
+        SELECT doc_id, ({bit_sum}) AS simhash FROM charged WHERE len(hs) > 0
     """
 
 

@@ -75,6 +75,62 @@ def brute_topk_sql(table: str = "embeddings", n_queries: int = 5, k: int = 10) -
     """
 
 
+def brute_topk_blocked(emb: DataFrame, n_queries: int = 5, k: int = 10) -> DataFrame:
+    """numpy block-matmul fast path for exact top-k.
+
+    The expression-fold cosine (brute_topk) evaluates 64 multiply-adds per
+    pair inside codegen — correct but scalar. This path broadcasts the
+    (tiny) normalized query matrix into an Arrow mapInPandas stage and
+    computes Q @ X_block.T per record batch with BLAS, emitting only each
+    batch's local top-k; a final window takes the global top-k over the
+    (batches x q x k)-bounded candidate set. ~50-100x the fold's
+    throughput at identical results (modulo float summation order — hence
+    registered rows-only, with equality-to-brute asserted in tests at 1e-6).
+    """
+    import numpy as np
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    q_rows = (
+        emb.where(F.col("vec_id") < n_queries)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .collect()
+    )
+    q_ids = np.array([r["vec_id"] for r in q_rows])
+    Q = np.array([r["v"] for r in q_rows])
+    Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            ids = pdf["vec_id"].to_numpy()
+            X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            sims = Q @ X.T  # (q, batch)
+            out = []
+            for qi, qid in enumerate(q_ids):
+                row = sims[qi]
+                mask = ids != qid
+                cand_idx = np.argsort(-row[mask])[:k]
+                cids = ids[mask][cand_idx]
+                for cid, s in zip(cids, row[mask][cand_idx]):
+                    out.append((int(qid), int(cid), round(float(s), 6)))
+            yield pd.DataFrame(out, columns=["query_id", "neighbor_id", "cos_sim"])
+
+    local = emb.select("vec_id", "embedding").mapInPandas(
+        batches, schema="query_id bigint, neighbor_id bigint, cos_sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Random-hyperplane LSH
 # ---------------------------------------------------------------------------

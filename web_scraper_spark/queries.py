@@ -142,7 +142,7 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dd.minhash_signatures(dd.doc_shingles(_docs(spark, sf_dir)))
+    return dd.minhash_signatures_arrays(_docs(spark, sf_dir))
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -175,6 +175,12 @@ def q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_ann_pairs(_emb(spark, sf_dir), tau=0.25, n_tables=2)
+
+
+def q_ann_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """numpy block-matmul exact top-k (rows-only: BLAS summation order);
+    equality with the fold-based ann_brute_topk asserted in tests."""
+    return sim.brute_topk_blocked(_emb(spark, sf_dir), n_queries=5, k=10)
 
 
 # ---------------------------------------------------------------------------
@@ -528,6 +534,7 @@ def queries() -> dict[str, QueryFn]:
         # similarity search
         "ann_brute_topk": q_ann_brute_topk,
         "ann_lsh_pairs": q_ann_lsh_pairs,
+        "ann_topk_blocked": q_ann_topk_blocked,
         # multimodal
         "media_stats": q_media_stats,
         "media_features": q_media_features,
@@ -758,7 +765,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": DOC_FINGERPRINTS_SQL,
         # dedup
         "exact_dedup": dd.exact_dup_groups_sql("documents"),
-        "minhash_signatures": dd.minhash_signatures_sql(sh_cte),
+        "minhash_signatures": dd.minhash_signatures_arrays_sql("documents"),
         "minhash_lsh_pairs": dd.minhash_lsh_pairs_sql("documents", tau=0.4),
         "ngram_jaccard_pairs": dd.jaccard_pairs_sql(sh_cte, tau=0.4),
         "simhash": dd.simhash_sql("documents"),
