@@ -90,6 +90,16 @@ def test_simhash_properties(docs):
     assert pairs[(1, 2)] == 0
 
 
+def test_dedup_clusters_label_propagation(spark):
+    # two components: {1,2,3} (chain, min 1) and {10,20} (min 10)
+    pairs = spark.createDataFrame(
+        [(2, 3, 0.9), (1, 2, 0.8), (10, 20, 0.7)],
+        "doc_a bigint, doc_b bigint, jaccard double",
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dd.dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 20: 10}
+
+
 @pytest.fixture(scope="module")
 def emb(spark):
     rows = [

@@ -644,3 +644,83 @@ def embedding_near_pairs_sql(table: str = "embeddings", tau: float = 0.95) -> st
         FROM {table} a JOIN {table} b ON a.vec_id < b.vec_id
         WHERE {cos} >= {tau}
     """
+
+
+# ---------------------------------------------------------------------------
+# Dedup clusters — connected components over the near-dup pair graph
+# ---------------------------------------------------------------------------
+
+def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """(doc_id, cluster_id) — connected components of the near-dup graph;
+    cluster_id = min doc_id reachable. The step that turns pairwise
+    near-dups into keep/drop decisions (keeper = cluster_id row).
+
+    Driver-orchestrated label propagation: each round every node adopts
+    the min label in its neighborhood; converges in O(graph diameter)
+    rounds (near-dup graphs are shallow — dup clusters are cliques or
+    short chains). Each iteration is one groupBy-min shuffle; the loop
+    stops when an iteration changes nothing (same fixpoint pattern as the
+    crawl rounds)."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .cache()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="doc_id")
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", "cluster_id")
+
+
+def dedup_clusters_sql(pairs_cte: str) -> str:
+    """Oracle twin: min reachable id via a recursive CTE (UNION semantics
+    dedupe visited states, so it terminates on cyclic graphs)."""
+    return f"""
+        WITH RECURSIVE pairs AS ({pairs_cte}),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION
+            SELECT doc_b AS src, doc_a AS dst FROM pairs
+        ),
+        reach AS (
+            SELECT src, src AS node FROM edges
+            UNION
+            SELECT r.src, e.dst AS node
+            FROM reach r JOIN edges e ON e.src = r.node
+        )
+        SELECT src AS doc_id, min(node) AS cluster_id
+        FROM reach GROUP BY src
+    """

@@ -165,6 +165,13 @@ def q_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.embedding_near_pairs(_emb(spark, sf_dir), tau=0.28)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash near-dup graph — iterative
+    label propagation (driver fixpoint), oracled by a recursive CTE."""
+    pairs = dd.minhash_lsh_pairs(_docs(spark, sf_dir), tau=0.4)
+    return dd.dedup_clusters(pairs)
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
@@ -531,6 +538,7 @@ def queries() -> dict[str, QueryFn]:
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "embedding_near_pairs": q_embedding_near_pairs,
+        "dedup_clusters": q_dedup_clusters,
         # similarity search
         "ann_brute_topk": q_ann_brute_topk,
         "ann_lsh_pairs": q_ann_lsh_pairs,
@@ -771,6 +779,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": dd.simhash_sql("documents"),
         "simhash_pairs": dd.simhash_near_pairs_sql("documents", max_hamming=3),
         "embedding_near_pairs": dd.embedding_near_pairs_sql("embeddings", tau=0.28),
+        "dedup_clusters": dd.dedup_clusters_sql(dd.minhash_lsh_pairs_sql("documents", tau=0.4)),
         # similarity
         "ann_brute_topk": sim.brute_topk_sql("embeddings", n_queries=5, k=10),
         "ann_lsh_pairs": sim.lsh_ann_pairs_sql("embeddings", tau=0.25, n_tables=2),
