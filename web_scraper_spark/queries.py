@@ -172,6 +172,26 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.dedup_clusters(pairs)
 
 
+def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-corpus cleaning pipeline (C4-style):
+    quality gate → near-dup removal (keep each cluster's min doc_id) →
+    cleaned projection. One declarative plan across the tiers."""
+    docs = _docs(spark, sf_dir)
+    quality = quality_columns("text")
+    pairs = dd.minhash_lsh_pairs(docs, tau=0.4)
+    drop = dd.dedup_clusters(pairs).where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return (
+        docs.select(
+            "doc_id", "lang",
+            quality["n_tokens"].alias("n_tokens"),
+            quality["quality_score"].alias("quality_score"),
+            clean_text(F.col("text")).alias("text_clean"),
+        )
+        .where(F.col("quality_score") >= 0.5)
+        .join(drop, on="doc_id", how="left_anti")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
@@ -539,6 +559,7 @@ def queries() -> dict[str, QueryFn]:
         "simhash_pairs": q_simhash_pairs,
         "embedding_near_pairs": q_embedding_near_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "corpus_filter": q_corpus_filter,
         # similarity search
         "ann_brute_topk": q_ann_brute_topk,
         "ann_lsh_pairs": q_ann_lsh_pairs,
@@ -780,6 +801,17 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": dd.simhash_near_pairs_sql("documents", max_hamming=3),
         "embedding_near_pairs": dd.embedding_near_pairs_sql("embeddings", tau=0.28),
         "dedup_clusters": dd.dedup_clusters_sql(dd.minhash_lsh_pairs_sql("documents", tau=0.4)),
+        "corpus_filter": f"""
+            WITH clusters AS ({dd.dedup_clusters_sql(dd.minhash_lsh_pairs_sql("documents", tau=0.4))}),
+            drop_ids AS (SELECT doc_id FROM clusters WHERE doc_id != cluster_id)
+            SELECT doc_id, lang,
+                   {_qsql["n_tokens"]} AS n_tokens,
+                   {_qsql["quality_score"]} AS quality_score,
+                   {clean_text_sql("text")} AS text_clean
+            FROM documents
+            WHERE {_qsql["quality_score"]} >= 0.5
+              AND doc_id NOT IN (SELECT doc_id FROM drop_ids)
+        """,
         # similarity
         "ann_brute_topk": sim.brute_topk_sql("embeddings", n_queries=5, k=10),
         "ann_lsh_pairs": sim.lsh_ann_pairs_sql("embeddings", tau=0.25, n_tables=2),
