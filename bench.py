@@ -176,6 +176,9 @@ HEADLINE = [
     "simhash_pairs",
     "ngram_jaccard_pairs",
     "embedding_near_pairs",
+    "near_pairs_blocked",
+    "dedup_clusters",
+    "corpus_filter",
     "ann_brute_topk",
     "ann_topk_blocked",
     "ann_lsh_pairs",

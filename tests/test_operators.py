@@ -138,6 +138,16 @@ def test_blocked_topk_equals_fold_topk(spark, sf_dir):
         assert abs(fold[key][1] - fast[key][1]) < 1e-5
 
 
+def test_blocked_pairs_equal_fold_pairs(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    fold = {(r["vec_a"], r["vec_b"]): r["cos_sim"]
+            for r in dd.embedding_near_pairs(emb, tau=0.25).collect()}
+    fast = {(r["vec_a"], r["vec_b"]): r["cos_sim"]
+            for r in sim.near_pairs_blocked(emb, tau=0.25).collect()}
+    assert fold.keys() == fast.keys()
+    assert all(abs(fold[k] - fast[k]) < 1e-5 for k in fold)
+
+
 def test_lsh_ann_recalls_close_pair(spark):
     # 64-dim so signatures use the real plane dimensionality
     base = [1.0] + [0.0] * 63

@@ -131,6 +131,43 @@ def brute_topk_blocked(emb: DataFrame, n_queries: int = 5, k: int = 10) -> DataF
     )
 
 
+def near_pairs_blocked(emb: DataFrame, tau: float = 0.9) -> DataFrame:
+    """numpy fast path for exact cosine near-pairs: the normalized corpus
+    matrix ships to every task (fine up to ~10^6 x small-dim; beyond that
+    lsh_ann_pairs is the scale path), each Arrow batch computes
+    block @ corpus.T and emits only pairs (vec_a < vec_b, sim >= tau).
+    Rows-only (BLAS summation order vs the fold); equality asserted in
+    tests at 1e-5."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rows = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v")).collect()
+    ids_all = np.array([r["vec_id"] for r in rows])
+    M = np.array([r["v"] for r in rows])
+    M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            ids = pdf["vec_id"].to_numpy()
+            X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            sims = X @ M.T  # (batch, all)
+            bi, aj = np.nonzero(sims >= tau)
+            out = []
+            for i, j in zip(bi, aj):
+                a, b = ids[i], ids_all[j]
+                if a < b:
+                    out.append((int(a), int(b), round(float(sims[i, j]), 6)))
+            if out:
+                yield pd.DataFrame(out, columns=["vec_a", "vec_b", "cos_sim"])
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        batches, schema="vec_a bigint, vec_b bigint, cos_sim double"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Random-hyperplane LSH
 # ---------------------------------------------------------------------------

@@ -210,6 +210,33 @@ def q_ann_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.brute_topk_blocked(_emb(spark, sf_dir), n_queries=5, k=10)
 
 
+def q_near_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """numpy block-matmul exact cosine pairs (rows-only fast path of
+    embedding_near_pairs)."""
+    return sim.near_pairs_blocked(_emb(spark, sf_dir), tau=0.28)
+
+
+def q1_via_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-API surface: identical TPC-H Q1 text through spark.sql
+    (Catalyst produces the same plan as the DataFrame form)."""
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView("lineitem")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+               CAST(sum(l_extendedprice) AS DOUBLE) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 6) AS avg_qty,
+               round(avg(l_extendedprice), 6) AS avg_price,
+               round(avg(l_discount), 6) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= DATE '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal
 # ---------------------------------------------------------------------------
@@ -564,6 +591,8 @@ def queries() -> dict[str, QueryFn]:
         "ann_brute_topk": q_ann_brute_topk,
         "ann_lsh_pairs": q_ann_lsh_pairs,
         "ann_topk_blocked": q_ann_topk_blocked,
+        "near_pairs_blocked": q_near_pairs_blocked,
+        "q1_via_sql": q1_via_sql,
         # multimodal
         "media_stats": q_media_stats,
         "media_features": q_media_features,
@@ -603,6 +632,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate <= DATE '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
+        """,
+        "q1_via_sql": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity)::DOUBLE AS sum_qty,
+                   sum(l_extendedprice)::DOUBLE AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_extendedprice), 6) AS avg_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= DATE '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
         """,
         "q3_shipping_priority": """
             SELECT l_orderkey, o_orderdate, o_orderpriority,
