@@ -34,6 +34,24 @@ class BloomSpec:
         self.k = k
         assert self.m & (self.m - 1) == 0, "bits_per_bucket must be a power of 2"
 
+    @classmethod
+    def for_capacity(cls, n_items: int, fpr: float = 0.01, n_buckets: int = 256) -> "BloomSpec":
+        """Standard sizing: m = -n·ln p / (ln 2)², k = (m/n)·ln 2, with m
+        rounded up to a power of two per bucket.
+
+        The 10^10-URL design point: for_capacity(10**10, 0.01, 4096) →
+        ~2^31 bits (256 MiB)/bucket··· no: per-bucket n = 10^10/4096 ≈
+        2.44M → m ≈ 2^25 bits = 4 MiB/bucket, k = 7; ~16 GiB total state,
+        each executor only ever holding the buckets it processes (the
+        bucket partitioning is the broadcast-slicing unit)."""
+        import math
+
+        per_bucket = max(1, n_items // n_buckets)
+        m_exact = -per_bucket * math.log(fpr) / (math.log(2) ** 2)
+        m = 1 << max(10, math.ceil(math.log2(m_exact)))
+        k = max(1, round(m / per_bucket * math.log(2)))
+        return cls(n_buckets=n_buckets, bits_per_bucket=m, k=min(k, 16))
+
     def _positions(self, hashes: np.ndarray) -> np.ndarray:
         """(n,) int64 hashes -> (k, n) bit positions via double hashing."""
         h = hashes.astype(np.uint64)
