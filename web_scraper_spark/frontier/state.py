@@ -46,11 +46,20 @@ FETCH_LOG_SCHEMA = (
 )
 
 
-def _partition_counts(df: DataFrame) -> list[int]:
-    rows = (
-        df.groupBy(F.spark_partition_id().alias("pid")).count().orderBy("pid").collect()
-    )
-    return [r["count"] for r in rows]
+def _partition_counts(path: str) -> list[int]:
+    """Per-file row counts straight from the parquet footers — the lineage
+    record costs metadata reads, not a rescan of what was just written
+    (footer num_rows is exact; one output file = one partition artifact)."""
+    import pyarrow.parquet as pq
+
+    counts = []
+    for name in sorted(os.listdir(path)):
+        full = os.path.join(path, name)
+        if name.startswith("bucket="):  # partitioned layout: recurse one level
+            counts.extend(_partition_counts(full))
+        elif name.endswith(".parquet"):
+            counts.append(pq.ParquetFile(full).metadata.num_rows)
+    return counts
 
 
 class CrawlState:
@@ -142,18 +151,14 @@ class CrawlState:
         # SURVEY.md §4: top-priority reads are file-skipping at scale)
         fr = frontier_next.sortWithinPartitions("depth", "source_pos", "category_pos", "page_no", "listing_pos")
         fr.write.mode("overwrite").parquet(os.path.join(rd, "frontier"))
-        lineage["frontier"] = _partition_counts(self.read_frontier(k))
+        lineage["frontier"] = _partition_counts(os.path.join(rd, "frontier"))
         sd = seen_delta.repartition(F.col("bucket"))
         sd.write.mode("overwrite").partitionBy("bucket").parquet(
             os.path.join(rd, "seen_delta")
         )
-        lineage["seen_delta"] = _partition_counts(
-            self.spark.read.schema(SEEN_SCHEMA).parquet(os.path.join(rd, "seen_delta"))
-        )
+        lineage["seen_delta"] = _partition_counts(os.path.join(rd, "seen_delta"))
         fetch_log.write.mode("overwrite").parquet(os.path.join(rd, "fetch_log"))
-        lineage["fetch_log"] = _partition_counts(
-            self.spark.read.schema(FETCH_LOG_SCHEMA).parquet(os.path.join(rd, "fetch_log"))
-        )
+        lineage["fetch_log"] = _partition_counts(os.path.join(rd, "fetch_log"))
         man = {"round": k, "lineage": lineage, "metrics": metrics}
         fd, tmp = tempfile.mkstemp(dir=rd, prefix=".manifest-")
         with os.fdopen(fd, "w") as f:
