@@ -127,6 +127,43 @@ def bench_frontier(spark, n_urls: int = 12_000_000, budget: int = 200, salt: int
             "urls_per_s": round(n_urls / wall, 1)}
 
 
+def bench_parse(spark, articles_per_category: int = 400) -> dict:
+    """Parse-stage throughput: the mapInPandas HTML extract over the
+    rendered synthetic corpus — the scale-dominant crawl cost (at 100 TB
+    the parse is ~all the CPU; rounds and commits amortize away)."""
+    from pyspark.sql import functions as F
+
+    from web_scraper_spark.html.udfs import parse_pages
+    from web_scraper_spark.synth import build_pages_df
+    from web_scraper_spark.synth.sitegen import SiteConfig, build_site
+
+    site = SiteConfig(n_categories=6, articles_per_category=articles_per_category)
+    pages = build_pages_df(spark, site).cache()
+    n_pages = pages.count()  # materialize corpus outside the timed window
+    specs = {s["url"]: s for s in build_site(site)}
+    meta = spark.createDataFrame(
+        [
+            (u, s["source"], {"home": 0, "listing": 1, "article": 2}[s["kind"]],
+             s.get("category_name", ""), int(s.get("category_pos", -1)),
+             int(s.get("page_no", 0)), int(s.get("listing_pos", -1)))
+            for u, s in specs.items()
+        ],
+        "url string, source string, depth int, category_name string, "
+        "category_pos int, page_no int, listing_pos int",
+    )
+    fetched = pages.select("url", "html").join(meta, "url")
+    t0 = time.monotonic()
+    n_recs = parse_pages(fetched).count()
+    wall = time.monotonic() - t0
+    pages.unpersist()
+    return {
+        "n_pages": n_pages,
+        "n_records": n_recs,
+        "wall_s": round(wall, 3),
+        "pages_per_s": round(n_pages / wall, 1),
+    }
+
+
 def bench_crawl(spark, articles_per_category: int = 400) -> dict:
     """End-to-end crawl (fetch-join + parse + window filter + checkpoint)
     over a scaled synthetic site; URLs/s across all rounds."""
@@ -213,6 +250,7 @@ def run_default() -> dict:
     spark.range(1000).count()  # JVM warmup
     timings = bench_queries(spark, sf_dir)
     frontier = bench_frontier(spark)
+    parse = bench_parse(spark)
     crawl = bench_crawl(spark)
     spark.stop()
     return {
@@ -222,6 +260,7 @@ def run_default() -> dict:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "frontier": frontier,
+        "parse_stage": parse,
         "crawl_end_to_end": crawl,
         "cpus": cpus,
     }
@@ -253,12 +292,14 @@ def run_level(cpus: int, repeats: int = 2) -> dict:
     spark.range(1000).count()
     calibration_s = min(bench_calibration(spark) for _ in range(repeats))
     frontier = min((bench_frontier(spark) for _ in range(repeats)), key=lambda r: r["wall_s"])
+    parse = min((bench_parse(spark, articles_per_category=800) for _ in range(repeats)), key=lambda r: r["wall_s"])
     crawl = bench_crawl(spark)
     spark.stop()
     return {
         "cpus": cpus,
         "calibration_s": calibration_s,
         "frontier": frontier,
+        "parse": parse,
         "crawl": crawl,
     }
 
@@ -271,15 +312,31 @@ def run_scaling(n: int = 2, n4: int = 8) -> dict:
     gateway — a fresh process per level is the only honest measurement."""
     import subprocess
 
-    out: dict = {"levels": {}}
-    for cpus in (n, n4):
+    def one_level(cpus: int) -> dict:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--level", str(cpus)],
             capture_output=True,
             text=True,
             check=True,
         )
-        out["levels"][str(cpus)] = json.loads(proc.stdout.strip().splitlines()[-1])
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    # Two alternating passes (N, 4N, N, 4N), best per level: the sandbox
+    # hypervisor throttles in slow waves, and a single N-then-4N sequence
+    # can land each level in a different wave — alternation + min cancels it.
+    out: dict = {"levels": {}}
+    for _pass in range(2):
+        for cpus in (n, n4):
+            got = one_level(cpus)
+            key = str(cpus)
+            prev = out["levels"].get(key)
+            if prev is None:
+                out["levels"][key] = got
+            else:
+                prev["calibration_s"] = min(prev["calibration_s"], got["calibration_s"])
+                for job in ("frontier", "parse", "crawl"):
+                    if got[job]["wall_s"] < prev[job]["wall_s"]:
+                        prev[job] = got[job]
     fN = out["levels"][str(n)]["frontier"]["urls_per_s"]
     f4N = out["levels"][str(n4)]["frontier"]["urls_per_s"]
     cN = out["levels"][str(n)]["crawl"]["urls_per_s"]
@@ -288,9 +345,12 @@ def run_scaling(n: int = 2, n4: int = 8) -> dict:
     cal4N = out["levels"][str(n4)]["calibration_s"]
     machine_speedup = calN / cal4N
     ratio = n4 / n
+    pN = out["levels"][str(n)]["parse"]["pages_per_s"]
+    p4N = out["levels"][str(n4)]["parse"]["pages_per_s"]
     out["machine_speedup"] = round(machine_speedup, 3)
     out["machine_efficiency"] = round(machine_speedup / ratio, 3)
     out["frontier_scaling_efficiency"] = round(f4N / (ratio * fN), 3)
+    out["parse_scaling_efficiency"] = round(p4N / (ratio * pN), 3)
     out["crawl_scaling_efficiency"] = round(c4N / (ratio * cN), 3)
     # job speedup normalized to what the hardware proved it can deliver on
     # a shuffle-free perfectly-parallel job
