@@ -152,6 +152,9 @@ def bench_parse(spark, articles_per_category: int = 400) -> dict:
         "category_pos int, page_no int, listing_pos int",
     )
     fetched = pages.select("url", "html").join(meta, "url")
+    # warm the Python worker pool (a long-running crawl reuses workers;
+    # cold-start would otherwise be billed to the short timed window)
+    parse_pages(fetched.limit(64)).count()
     t0 = time.monotonic()
     n_recs = parse_pages(fetched).count()
     wall = time.monotonic() - t0
