@@ -115,15 +115,24 @@ class CrawlEngine:
     def __init__(
         self,
         spark: SparkSession,
-        pages: DataFrame,
+        pages: DataFrame | None,
         robots: DataFrame,
         state_dir: str,
         cfg: CrawlConfig | None = None,
+        fetch_fn=None,
     ):
+        """fetch_fn: optional live-fetch stage — a callable
+        df(url, fetch_slot_s) → df(url, html, ...) (see fetch/http.py).
+        Default resolves against the stored ``pages`` table (WARC-replay
+        semantics). Both run at the identical plan point, after the dedup
+        gate and politeness selection."""
         self.spark = spark
         self.cfg = cfg or CrawlConfig()
         self.state = CrawlState(spark, state_dir, self.cfg.n_buckets)
-        self.pages_keyed = prepare_pages(pages)
+        self.pages_keyed = prepare_pages(pages) if pages is not None else None
+        self.fetch_fn = fetch_fn
+        if pages is None and fetch_fn is None:
+            raise ValueError("need a pages table or a fetch_fn")
         self.robots = robots
         self.bloom_spec = BloomSpec(n_buckets=self.cfg.n_buckets, bits_per_bucket=1 << 17)
 
@@ -190,7 +199,11 @@ class CrawlEngine:
             "fetch_pos", F.row_number().over(w_order) + F.lit(fetch_offset)
         )
 
-        fetched = ordered.join(self.pages_keyed, on="url_canon", how="left").cache()
+        if self.fetch_fn is not None:
+            res = self.fetch_fn(ordered.select("url", "fetch_slot_s"))
+            fetched = ordered.join(res.select("url", "html"), on="url", how="left").cache()
+        else:
+            fetched = ordered.join(self.pages_keyed, on="url_canon", how="left").cache()
         got = fetched.filter(F.col("html").isNotNull())
         missing = fetched.filter(F.col("html").isNull())
 
