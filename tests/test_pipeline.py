@@ -90,6 +90,40 @@ def test_extract_relations_first_writer_wins(spark):
     assert ("w", "z", "DATA_FLOW") in out
 
 
+def test_load_vocab_file(tmp_path, spark):
+    import json
+
+    from web_scraper_spark.pipeline.relations import load_vocab
+
+    p = tmp_path / "vocab.json"
+    json.dump(
+        {"ORG_LOCATION": ["based in", "located at"], "RX": [r"x\d+"]},
+        open(p, "w"),
+    )
+    vocab = load_vocab(str(p))
+    assert vocab["ORG_LOCATION"] == [r"\bbased\ in\b", r"\blocated\ at\b"]
+    assert vocab["RX"] == [r"x\d+"]  # regex passed through
+    df = spark.createDataFrame([("the firm is based in berlin",)], "sentence string")
+    got = classify_sentences(df, vocab).collect()
+    assert got[0]["rel_type"] == "ORG_LOCATION"
+
+
+def test_ivf_topk_recall_vs_brute(spark, sf_dir):
+    from web_scraper_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    brute = {(r["query_id"], r["neighbor_id"]) for r in
+             sim.brute_topk(emb, n_queries=3, k=5).collect()}
+    # full probe = exact: recall must be 1.0
+    full = {(r["query_id"], r["neighbor_id"]) for r in
+            sim.ivf_topk(emb, n_queries=3, k=5, n_cells=8, n_probe=8).collect()}
+    assert full == brute
+    # partial probe: bounded loss
+    part = {(r["query_id"], r["neighbor_id"]) for r in
+            sim.ivf_topk(emb, n_queries=3, k=5, n_cells=8, n_probe=4).collect()}
+    assert len(part & brute) / len(brute) >= 0.5
+
+
 def test_kg_build_merge_semantics(spark):
     from web_scraper_spark.pipeline.kg import build_edges, build_nodes
 

@@ -235,6 +235,74 @@ def lsh_buckets_sql(table: str = "embeddings", n_tables: int = 2, n_planes: int 
     return selects
 
 
+def ivf_topk(
+    emb: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: k-means coarse quantizer (Spark ML, seeded),
+    queries probe their n_probe nearest cells, exact cosine within probed
+    cells only.
+
+    The scale shape: the corpus is written PARTITIONED BY cell (each cell
+    a contiguous parquet range), a query touches n_probe/n_cells of the
+    data — partition pruning does the skipping. Recall rises with n_probe
+    (n_probe = n_cells degenerates to exact brute force). ML fit → not
+    SQL-expressible → rows-only; recall vs brute asserted in tests."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("arr")
+    ).withColumn("features", array_to_vector("arr"))
+    km = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell")
+    model = km.fit(vecs)
+    assigned = model.transform(vecs).select("vec_id", "arr", "cell")
+
+    centroids = [[float(x) for x in c] for c in model.clusterCenters()]
+    cent_df = emb.sparkSession.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], "cell int, centroid array<double>"
+    )
+    queries = assigned.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("arr").alias("qv")
+    )
+    # probe list: n_probe nearest centroids per query (tiny cross join)
+    q_cells = (
+        F.broadcast(queries)
+        .crossJoin(F.broadcast(cent_df))
+        .withColumn("c_sim", cosine_expr(F.col("qv"), F.col("centroid")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("c_sim").desc(), F.col("cell").asc())
+    probes = (
+        q_cells.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= n_probe)
+        .select("query_id", "qv", "cell")
+    )
+    scored = (
+        probes.join(assigned, on="cell")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .withColumn("cos_sim", cosine_expr(F.col("qv"), F.col("arr")))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "cos_sim",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def lsh_ann_pairs(emb: DataFrame, tau: float = 0.9, n_tables: int = 2) -> DataFrame:
     """Near-neighbor pairs via bucket collision in any table, exact-scored.
 

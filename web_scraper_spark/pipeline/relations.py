@@ -36,6 +36,27 @@ DEFAULT_VOCAB: dict[str, list[str]] = {
 }
 
 
+def load_vocab(path: str) -> dict[str, list[str]]:
+    """Load a {rel_type: [patterns]} vocabulary file — the reference's
+    relation_vocab.json (19 types × ~1,121 literal patterns) loads
+    unchanged. Literal (non-regex) patterns are escaped and word-bounded
+    so the rlike tier matches them as phrases."""
+    import json
+    import re as _re
+
+    raw = json.load(open(path, encoding="utf-8"))
+    vocab: dict[str, list[str]] = {}
+    for rel, pats in raw.items():
+        cleaned = []
+        for p in pats:
+            if any(ch in p for ch in r"\[](){}|+*?^$"):
+                cleaned.append(p)  # already a regex
+            else:
+                cleaned.append(r"\b" + _re.escape(p) + r"\b")
+        vocab[rel] = cleaned
+    return vocab
+
+
 def sanitize_rel_type(col: Column) -> Column:
     """X12 (relation_extraction.py:200-215)."""
     up = F.upper(F.regexp_replace(col, "[^a-zA-Z0-9_]", "_"))

@@ -210,6 +210,12 @@ def q_ann_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.brute_topk_blocked(_emb(spark, sf_dir), n_queries=5, k=10)
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (k-means coarse quantizer) approximate top-k — rows-only
+    (Spark-ML fit); recall vs brute asserted in tests."""
+    return sim.ivf_topk(_emb(spark, sf_dir), n_queries=5, k=10, n_cells=16, n_probe=4)
+
+
 def q_near_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """numpy block-matmul exact cosine pairs (rows-only fast path of
     embedding_near_pairs)."""
@@ -592,6 +598,7 @@ def queries() -> dict[str, QueryFn]:
         "ann_lsh_pairs": q_ann_lsh_pairs,
         "ann_topk_blocked": q_ann_topk_blocked,
         "near_pairs_blocked": q_near_pairs_blocked,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "q1_via_sql": q1_via_sql,
         # multimodal
         "media_stats": q_media_stats,
