@@ -98,29 +98,59 @@ class CrawlState:
         )
 
     def read_seen(self, upto_round: int) -> DataFrame:
-        """Union of all committed seen deltas ≤ upto_round (hash-bucketed).
-
-        At 10^10 scale this is the compaction point: deltas merge into a
-        bucketed base table periodically; the union-of-deltas read is the
-        same logical table either way.
-        """
+        """The seen table at round `upto_round`: compacted base (if any)
+        plus the delta tail — the classic LSM read. Without periodic
+        compaction the union-of-deltas read grows linearly with rounds;
+        ``compact_seen`` folds deltas into one bucketed base."""
+        base_round, base_path = self._latest_compaction(upto_round)
         paths = [
             os.path.join(self._round_dir(i), "seen_delta")
-            for i in range(upto_round + 1)
+            for i in range(base_round + 1, upto_round + 1)
             if os.path.exists(os.path.join(self._round_dir(i), "seen_delta"))
         ]
-        if not paths:
-            return self.spark.createDataFrame([], SEEN_SCHEMA)
-        # each delta is its own bucket-partitioned root → read separately, union
         from functools import reduce
 
         dfs = [
             self.spark.read.schema(SEEN_SCHEMA).parquet(p).select(
                 "url_hash", "bucket", "url_canon", "round"
             )
-            for p in paths
+            for p in ([base_path] if base_path else []) + paths
         ]
+        if not dfs:
+            return self.spark.createDataFrame([], SEEN_SCHEMA)
         return reduce(lambda a, b: a.unionByName(b), dfs)
+
+    # -- seen compaction ------------------------------------------------------
+
+    def _compaction_dir(self, k: int) -> str:
+        return os.path.join(self.dir, f"seen_compact={k:04d}")
+
+    def _latest_compaction(self, upto_round: int) -> tuple[int, str | None]:
+        best, path = -1, None
+        for name in os.listdir(self.dir):
+            if name.startswith("seen_compact=") and os.path.exists(
+                os.path.join(self.dir, name, "_COMMITTED")
+            ):
+                k = int(name.split("=")[1])
+                if best < k <= upto_round:
+                    best, path = k, os.path.join(self.dir, name, "data")
+        return best, path
+
+    def compact_seen(self, upto_round: int | None = None) -> int:
+        """Fold all seen deltas ≤ upto_round into one bucket-partitioned
+        base (atomic: visible only after the _COMMITTED marker lands).
+        Readers at or past that round switch to base + tail; older
+        compactions and the folded deltas become garbage (kept — cheap,
+        and crash-simulating tests drop round dirs independently)."""
+        upto = self.last_committed_round() if upto_round is None else upto_round
+        seen = self.read_seen(upto)
+        cd = self._compaction_dir(upto)
+        seen.repartition(F.col("bucket")).write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(os.path.join(cd, "data"))
+        with open(os.path.join(cd, "_COMMITTED"), "w") as f:
+            f.write(str(upto))
+        return upto
 
     def read_fetch_log(self, upto_round: int | None = None) -> DataFrame:
         upto = self.last_committed_round() if upto_round is None else upto_round

@@ -1,0 +1,71 @@
+"""Incremental recompute via content-hash cache invalidation (SURVEY.md
+O8/S13, ConnectAndSave.py:122-123,194-195,294-300).
+
+The reference md5-hashes a grain's token set and skips the LDA refit when
+the hash matches the cached value. Generalized engine form:
+
+    current  = per-group content hashes of the input NOW
+    cached   = the hash table persisted by the previous run
+    stale    = groups whose hash changed or appeared   (recompute these)
+    retired  = cached groups that vanished             (delete results)
+    fresh cache = current
+
+Only `stale` groups flow into the expensive stage; results for unchanged
+groups are reused as-is. This is snapshot-diff semantics on plain tables —
+with Iceberg the `current` side would be an incremental scan instead of a
+full rehash, but the stale/retired classification is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def group_hashes(df: DataFrame, group_col: str, content_col: str) -> DataFrame:
+    """(group, content_hash): md5 over the sorted per-row hashes — order-
+    insensitive, one groupBy (the md5_cache_key shape)."""
+    return df.groupBy(F.col(group_col).alias("group_key")).agg(
+        F.md5(
+            F.concat_ws("|", F.sort_array(F.collect_list(F.md5(F.col(content_col)))))
+        ).alias("content_hash")
+    )
+
+
+def classify_groups(current: DataFrame, cached: DataFrame) -> DataFrame:
+    """(group_key, state) with state ∈ {stale, unchanged, retired}."""
+    cur = current.select("group_key", F.col("content_hash").alias("h_now"))
+    old = cached.select("group_key", F.col("content_hash").alias("h_old"))
+    joined = cur.join(old, on="group_key", how="full_outer")
+    state = (
+        F.when(F.col("h_now").isNull(), F.lit("retired"))
+        .when(F.col("h_old").isNull() | (F.col("h_now") != F.col("h_old")), F.lit("stale"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select("group_key", state.alias("state"))
+
+
+def incremental_refresh(
+    data: DataFrame,
+    cached_hashes: DataFrame,
+    prev_results: DataFrame,
+    group_col: str,
+    content_col: str,
+    compute_fn,
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (results, new_cache): compute_fn runs ONLY over stale
+    groups' rows; unchanged groups keep prev_results rows; retired groups
+    drop out. compute_fn: DataFrame (stale rows) → DataFrame keyed by
+    group_col."""
+    current = group_hashes(data, group_col, content_col)
+    states = classify_groups(current, cached_hashes)
+    stale_keys = states.where(F.col("state") == "stale").select("group_key")
+    unchanged_keys = states.where(F.col("state") == "unchanged").select("group_key")
+    stale_rows = data.join(
+        stale_keys.withColumnRenamed("group_key", group_col), on=group_col, how="left_semi"
+    )
+    recomputed = compute_fn(stale_rows)
+    kept = prev_results.join(
+        unchanged_keys.withColumnRenamed("group_key", group_col), on=group_col, how="left_semi"
+    )
+    return kept.unionByName(recomputed), current
