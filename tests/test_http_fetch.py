@@ -94,6 +94,23 @@ def test_live_http_crawl_equals_stored_crawl(spark, site_cfg, replay_server):
     assert {tuple(r) for r in log_l} == {tuple(r) for r in log_s}
 
 
+def test_http_fetch_pacing_honors_slots(spark, replay_server):
+    import time
+
+    from web_scraper_spark.fetch.http import http_fetch_batch
+
+    rewrite = _rewrite_factory(replay_server)
+    urls = spark.createDataFrame(
+        [("https://alpha.example/", 0.0), ("https://beta.example/", 1.2)],
+        "url string, fetch_slot_s double",
+    ).coalesce(1)  # one task → the slot schedule is within-task
+    t0 = time.monotonic()
+    out = http_fetch_batch(urls, url_rewrite=rewrite, pace=True).collect()
+    elapsed = time.monotonic() - t0
+    assert all(r["fetched_ok"] for r in out)
+    assert elapsed >= 1.2  # the 1.2 s slot was waited out
+
+
 def test_http_fetch_retries_and_failures(spark, replay_server):
     from web_scraper_spark.fetch.http import http_fetch_batch
 
