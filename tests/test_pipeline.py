@@ -124,6 +124,17 @@ def test_ivf_topk_recall_vs_brute(spark, sf_dir):
     assert len(part & brute) / len(brute) >= 0.5
 
 
+def test_grain_k_schedule():
+    from web_scraper_spark.operators.topics import grain_k
+
+    assert grain_k("month", 5) == 10
+    assert grain_k("month", 15) == 15
+    assert grain_k("month", 28) == 20
+    assert grain_k("week") == 10
+    assert grain_k("quarter") == 35
+    assert grain_k("year") == 40
+
+
 def test_kg_build_merge_semantics(spark):
     from web_scraper_spark.pipeline.kg import build_edges, build_nodes
 
