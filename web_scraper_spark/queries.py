@@ -334,6 +334,87 @@ JSON_PROPS_SQL = """
 # Pipeline stages (E2/E3) + streaming
 # ---------------------------------------------------------------------------
 
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel per user (view → click → purchase, strictly
+    increasing timestamps): per-user min-ts per stage with ordering
+    constraints — one groupBy, no self-joins."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stage_min = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_buy"),
+    )
+    reached = (
+        F.when(
+            F.col("t_view").isNotNull()
+            & F.col("t_click").isNotNull()
+            & F.col("t_buy").isNotNull()
+            & (F.col("t_view") < F.col("t_click"))
+            & (F.col("t_click") < F.col("t_buy")),
+            3,
+        )
+        .when(
+            F.col("t_view").isNotNull()
+            & F.col("t_click").isNotNull()
+            & (F.col("t_view") < F.col("t_click")),
+            2,
+        )
+        .when(F.col("t_view").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        stage_min.select(reached.alias("funnel_stage"))
+        .groupBy("funnel_stage")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+EVENT_FUNNEL_SQL = """
+    WITH stage_min AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+        FROM events GROUP BY user_id
+    )
+    SELECT CASE
+             WHEN t_view IS NOT NULL AND t_click IS NOT NULL AND t_buy IS NOT NULL
+                  AND t_view < t_click AND t_click < t_buy THEN 3
+             WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+                  AND t_view < t_click THEN 2
+             WHEN t_view IS NOT NULL THEN 1
+             ELSE 0 END AS funnel_stage,
+           count(*) AS n_users
+    FROM stage_min GROUP BY 1
+"""
+
+
+def q_quality_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of the quality score per language
+    (the corpus-threshold calibration query a cleaning pipeline runs
+    before picking its cut)."""
+    docs = _docs(spark, sf_dir)
+    score = quality_columns("text")["quality_score"]
+    scored = docs.select("lang", score.alias("q"))
+    return scored.groupBy("lang").agg(
+        F.round(F.expr("percentile(q, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(q, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(q, 0.9)"), 6).alias("p90"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+QUALITY_PERCENTILES_SQL = f"""
+    WITH scored AS (SELECT lang, {_qsql["quality_score"]} AS q FROM documents)
+    SELECT lang,
+           round(quantile_cont(q, 0.25), 6) AS p25,
+           round(quantile_cont(q, 0.5), 6) AS p50,
+           round(quantile_cont(q, 0.9), 6) AS p90,
+           count(*) AS n_docs
+    FROM scored GROUP BY lang
+"""
+
+
 def q_deep_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X9 10-step clean chain (native; NFC UDF off for the ASCII corpus)."""
     from web_scraper_spark.pipeline.articles import deep_clean
@@ -605,6 +686,8 @@ def queries() -> dict[str, QueryFn]:
         "media_features": q_media_features,
         "keyword_split": q_keyword_split,
         "json_props": q_json_props,
+        "event_funnel": q_event_funnel,
+        "quality_percentiles": q_quality_percentiles,
         # pipeline stages (E2/E3)
         "deep_clean": q_deep_clean,
         "sentence_split": q_sentence_split,
@@ -870,6 +953,8 @@ def oracle_sql() -> dict[str, str]:
         "media_features": MEDIA_FEATURES_SQL,
         "keyword_split": KEYWORD_SPLIT_SQL,
         "json_props": JSON_PROPS_SQL,
+        "event_funnel": EVENT_FUNNEL_SQL,
+        "quality_percentiles": QUALITY_PERCENTILES_SQL,
         # pipeline + streaming
         "deep_clean": _deep_clean_sql(),
         "sentence_split": _sentence_split_sql(),
