@@ -90,6 +90,26 @@ def test_simhash_properties(docs):
     assert pairs[(1, 2)] == 0
 
 
+def test_asof_join_semantics(spark):
+    from web_scraper_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "e1"), (1, 25, "e2"), (2, 5, "e3"), (3, 50, "e4")],
+        "k bigint, t bigint, ev string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 7, "c")],
+        "k bigint, rt bigint, payload string",
+    )
+    got = {r["ev"]: r["payload"] for r in asof_join(
+        left, right, key="k", left_ts="t", right_ts="rt", payload_cols=["payload"]
+    ).collect()}
+    assert got["e1"] == "a"   # equal timestamp matches (<=)
+    assert got["e2"] == "b"   # latest earlier row wins
+    assert got["e3"] is None  # no right row early enough
+    assert got["e4"] is None  # key with no right rows at all
+
+
 def test_dedup_clusters_label_propagation(spark):
     # two components: {1,2,3} (chain, min 1) and {10,20} (min 10)
     pairs = spark.createDataFrame(

@@ -415,6 +415,63 @@ QUALITY_PERCENTILES_SQL = f"""
 """
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (events ⟗asof orders on user_id=o_custkey, latest order
+    at-or-before the event): Spark composition (union + keyed window
+    carry-forward, one shuffle) vs DuckDB's native ASOF JOIN oracle.
+    Aggregated per (event_type, matched order status) to keep the result
+    compact."""
+    from web_scraper_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    # right side reduced to ONE row per (key, ts): asof with duplicate
+    # right timestamps is ambiguous in any engine — the reduction makes
+    # both formulations deterministic
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .groupBy(
+            F.col("o_custkey").alias("user_id"), "o_orderdate"
+        )
+        .agg(
+            F.max("o_orderstatus").alias("o_orderstatus"),
+            F.round(F.max("o_totalprice"), 2).alias("o_totalprice"),
+        )
+    )
+    joined = asof_join(
+        ev, orders, key="user_id", left_ts="ts", right_ts="o_orderdate",
+        payload_cols=["o_orderstatus", "o_totalprice"],
+    )
+    return (
+        joined.groupBy("event_type", F.col("o_orderstatus").alias("order_status"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+ASOF_JOIN_SQL = """
+    WITH o AS (
+        SELECT o_custkey AS user_id, o_orderdate,
+               max(o_orderstatus) AS o_orderstatus,
+               round(max(o_totalprice), 2) AS o_totalprice
+        FROM orders GROUP BY 1, 2
+    ),
+    j AS (
+        SELECT e.event_type, o.o_orderstatus AS order_status, o.o_totalprice
+        FROM events e
+        ASOF LEFT JOIN o
+          ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
+    )
+    SELECT event_type, order_status,
+           count(*) AS n_events,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM j GROUP BY 1, 2
+"""
+
+
 def q_deep_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X9 10-step clean chain (native; NFC UDF off for the ASCII corpus)."""
     from web_scraper_spark.pipeline.articles import deep_clean
@@ -688,6 +745,7 @@ def queries() -> dict[str, QueryFn]:
         "json_props": q_json_props,
         "event_funnel": q_event_funnel,
         "quality_percentiles": q_quality_percentiles,
+        "asof_join": q_asof_join,
         # pipeline stages (E2/E3)
         "deep_clean": q_deep_clean,
         "sentence_split": q_sentence_split,
@@ -955,6 +1013,7 @@ def oracle_sql() -> dict[str, str]:
         "json_props": JSON_PROPS_SQL,
         "event_funnel": EVENT_FUNNEL_SQL,
         "quality_percentiles": QUALITY_PERCENTILES_SQL,
+        "asof_join": ASOF_JOIN_SQL,
         # pipeline + streaming
         "deep_clean": _deep_clean_sql(),
         "sentence_split": _sentence_split_sql(),
