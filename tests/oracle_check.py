@@ -24,7 +24,11 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return f"{v:.6g}"
+        # 12 significant digits: strict enough to catch everything the
+        # driver's exact value-hash catches (r1's top3 penny diff was at
+        # the 8th digit and slipped through the old %.6g), loose enough
+        # not to flag sub-1e-12 IEEE noise on double-only columns
+        return f"{v:.12g}"
     if isinstance(v, bool):
         return str(bool(v))
     return str(v)

@@ -110,6 +110,47 @@ def test_asof_join_semantics(spark):
     assert got["e4"] is None  # key with no right rows at all
 
 
+def test_asof_join_null_payload_atomic(spark):
+    from web_scraper_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 30, "e1")], "k bigint, t bigint, ev string")
+    right = spark.createDataFrame(
+        [(1, 10, "a", 100.0), (1, 20, None, 200.0)],
+        "k bigint, rt bigint, p1 string, p2 double",
+    )
+    row = asof_join(
+        left, right, key="k", left_ts="t", right_ts="rt", payload_cols=["p1", "p2"]
+    ).collect()[0]
+    # the as-of match is rt=20, whose p1 is genuinely NULL: a per-column
+    # carry would resurrect 'a' from rt=10 — the struct carry must not
+    assert row["p1"] is None
+    assert row["p2"] == 200.0
+
+
+def test_sketch_matches_expression_on_whitespace_edges(spark):
+    """sketch_docs (Arrow pass) must reproduce the Column/DuckDB tokenize
+    semantics exactly, including leading/trailing \\t and \\n (space-only
+    trim + \\s+ collapse leaves a leading empty token)."""
+    rows = [
+        (1, "\t the quick brown fox jumps over the lazy dog\n"),
+        (2, "\n\nline one more text two three four five six seven\t"),
+        (3, "   plain doc with ordinary spacing here   "),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sk = {r["doc_id"]: list(r["mins"]) for r in dd.sketch_docs(docs).collect()}
+    cols = [f"mh{i}" for i in range(dd.N_MINHASH)]
+    exp = {
+        r["doc_id"]: [r[c] for c in cols]
+        for r in dd.minhash_signatures_arrays(docs).collect()
+    }
+    assert sk == exp
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    dk = con.execute(dd.minhash_signatures_arrays_sql("documents")).fetchdf()
+    for _, r in dk.iterrows():
+        assert sk[r["doc_id"]] == [r[c] for c in cols]
+
+
 def test_dedup_clusters_label_propagation(spark):
     # two components: {1,2,3} (chain, min 1) and {10,20} (min 10)
     pairs = spark.createDataFrame(

@@ -108,6 +108,56 @@ def test_load_vocab_file(tmp_path, spark):
     assert got[0]["rel_type"] == "ORG_LOCATION"
 
 
+def test_full_vocab_scale_compiles_and_classifies(spark):
+    """The production-size vocabulary (19 types, ~1,120 phrases, largest
+    alternation 226 phrases) must compile as one Java regex per type and
+    classify deterministically — the contact-with-scale check VERDICT r1
+    asked for (reference shape: relation_vocab.json, 19 x 1,121)."""
+    from web_scraper_spark.functions.vocab import REL_TYPES, synth_vocab
+    from web_scraper_spark.pipeline.relations import compile_vocab
+
+    raw = synth_vocab()
+    assert list(raw) == REL_TYPES and len(raw) == 19
+    total = sum(len(p) for p in raw.values())
+    assert 1000 <= total <= 1200
+    assert max(len(p) for p in raw.values()) >= 200  # skewed like the reference
+    vocab = compile_vocab(raw)
+    # index 0 of every type is a corpus-word 2-gram (i % 7 == 0 branch) —
+    # matchable end-to-end
+    phrase = raw["CAUSE_EFFECT"][0]
+    df = spark.createDataFrame(
+        [(f"prefix {phrase} suffix",), ("no match at all in this sentence",)],
+        "sentence string",
+    )
+    got = {r["sentence"]: r["rel_type"] for r in classify_sentences(df, vocab).collect()}
+    assert got[f"prefix {phrase} suffix"] in REL_TYPES
+    assert got["no match at all in this sentence"] == "RELATED_TO"  # LLM-tier fallback
+
+
+def test_stopword_config_at_production_size(spark):
+    """~2,000-entry stopword list through the broadcast-literal
+    array_except path (J6 at the reference's 1,941-entry scale)."""
+    from web_scraper_spark.functions.vocab import synth_stopwords
+    from web_scraper_spark.operators.text import clean_text, tokens
+
+    stops = synth_stopwords(2000)
+    assert len(stops) == 2000 and len(set(stops)) == 2000
+    stop_arr = F.array(*[F.lit(s) for s in stops])
+    df = spark.createDataFrame(
+        [(1, "the quick fox and the lazy dog"), (2, "the a of and to in is that")],
+        "doc_id bigint, text string",
+    )
+    tok = tokens(clean_text(F.col("text")))
+    out = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", F.size(F.array_except(tok, stop_arr)).alias("n")
+        ).collect()
+    }
+    assert out[1] == 4  # quick, fox, lazy, dog survive
+    assert out[2] == 0  # pure stopword soup
+
+
 def test_ivf_topk_recall_vs_brute(spark, sf_dir):
     from web_scraper_spark.operators import similarity as sim
 
@@ -164,10 +214,8 @@ def test_sessionize_stream_matches_batch(spark, sf_dir):
     stream = sessionize_stream(spark, sf_dir).select("user_id", "session_id", "n_events")
     b = {tuple(r) for r in batch.collect()}
     s = {tuple(r) for r in stream.collect()}
-    # the stream emits CLOSED sessions; every emitted session must match the
-    # batch result exactly, and only the final (still-open) session per
-    # user may be missing
-    assert s <= b
+    # the sentinel flush closes every real session → stream == batch exactly
+    assert s == b
     missing = b - s
     per_user_missing = {}
     for u, sid, n in missing:

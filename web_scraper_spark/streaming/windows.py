@@ -67,7 +67,11 @@ def stream_slot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "3 hours").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            # decimal-exact sum (same contract as analytics.dec_sum): the
+            # streaming agg must hash-match its batch/DuckDB oracle exactly
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("slot_start"), "event_type", "n_events", "sum_value"
