@@ -224,6 +224,8 @@ HEADLINE = [
     "ann_lsh_pairs",
     "sessionize",
     "relation_extract",
+    "relation_extract_full",  # 19-type x ~1,120-phrase vocab through the regex tier
+    "assign_ids",             # two-phase global rank (no single-partition window)
     "stream_slot_window",
     "media_features",
 ]

@@ -161,6 +161,87 @@ def test_bloom_no_false_negatives():
     assert fp < 0.9  # loose: bitmap is deliberately small here
 
 
+def test_crawl_equivalence_yesterday_window_and_relative_times(spark):
+    """F4 parameterized to the VnNet yesterday window (slug date ==
+    as_of-1) and beta rendering relative visible times ('Hôm qua, H:MM',
+    'N phút trước') that only parse against the as_of anchor — engine and
+    simulator must still agree row-for-row."""
+    as_of = "2025-12-02T22:30:00"
+    site = SiteConfig(n_categories=3, articles_per_category=8, relative_as_of=as_of)
+    cfg = CrawlConfig(
+        as_of=as_of, round_seconds=30.0, max_rounds=6, alpha_date_mode="yesterday"
+    )
+    pages = build_pages_df(spark, site).cache()
+    sd = tempfile.mkdtemp(prefix="crawl_yday_")
+    try:
+        eng = CrawlEngine(spark, pages, build_robots_df(spark, site), sd, cfg)
+        eng.run(seeds=seed_urls(site))
+        sim = simulate_crawl(site, cfg, seed_urls(site))
+        log = eng.state.read_fetch_log().orderBy("round", "fetch_pos").collect()
+        eng_order = [(r["round"], r["url_canon"], r["status"]) for r in log]
+        sim_order = [(r["round"], r["url_canon"], r["status"]) for r in sim.fetch_log]
+        assert eng_order == sim_order and len(eng_order) > 20
+        # the yesterday window bites: every fetched alpha article slug is
+        # dated as_of-1 (20251201), none dated as_of (20251202)
+        alpha_d2 = [r for r in log if "alpha" in r["url_canon"] and r["depth"] == 2]
+        assert alpha_d2
+        assert all("20251201" in r["url_canon"] for r in alpha_d2)
+        # relative forms really occurred AND parsed (publish_ts non-null)
+        rel = [
+            r for r in log
+            if r["time_str"] and ("trước" in r["time_str"] or "Hôm qua" in r["time_str"])
+        ]
+        assert rel
+        assert all(r["publish_ts"] is not None for r in rel)
+    finally:
+        shutil.rmtree(sd, ignore_errors=True)
+        pages.unpersist()
+
+
+def test_bloom_table_incremental_merge_and_split(spark):
+    """Table-resident blooms: OR-merging per-round delta bitmaps must equal
+    the bitmap built from the full seen set, and the cogrouped split must
+    route every truly-seen hash to the maybe side (no false negatives)."""
+    import numpy as np
+
+    from web_scraper_spark.frontier.bloom import (
+        BloomSpec,
+        bucket_bloom_df,
+        merge_bloom_tables,
+        split_by_bloom_table,
+    )
+
+    spec = BloomSpec(n_buckets=4, bits_per_bucket=1 << 12, k=5)
+    rng = np.random.default_rng(7)
+    h1 = rng.integers(-(2**62), 2**62, size=500, dtype=np.int64)
+    h2 = rng.integers(-(2**62), 2**62, size=500, dtype=np.int64)
+
+    def to_df(hs):
+        return spark.createDataFrame(
+            [(int(h), int(h) % 4) for h in hs], "url_hash long, bucket int"
+        )
+
+    full = {
+        r["bucket"]: bytes(r["bitmap"])
+        for r in bucket_bloom_df(to_df(np.concatenate([h1, h2])), spec).collect()
+    }
+    merged = {
+        r["bucket"]: bytes(r["bitmap"])
+        for r in merge_bloom_tables(
+            bucket_bloom_df(to_df(h1), spec), bucket_bloom_df(to_df(h2), spec)
+        ).collect()
+    }
+    assert full == merged  # incremental OR == rebuild from scratch
+
+    bloom_df = bucket_bloom_df(to_df(h1), spec)
+    fresh = np.setdiff1d(rng.integers(-(2**62), 2**62, size=500, dtype=np.int64), h1)
+    cand = to_df(np.concatenate([h1[:100], fresh]))
+    new, maybe = split_by_bloom_table(cand, bloom_df, spec)
+    maybe_hashes = {r["url_hash"] for r in maybe.collect()}
+    assert set(int(h) for h in h1[:100]) <= maybe_hashes  # zero false negatives
+    assert new.count() > 0  # most fresh hashes pass straight through
+
+
 def test_slot_window_skip_not_seal(crawl_run):
     """F3: out-of-window articles are logged but never enter `seen`."""
     eng, _, _, _ = crawl_run

@@ -90,6 +90,60 @@ def test_simhash_properties(docs):
     assert pairs[(1, 2)] == 0
 
 
+def test_simhash_arrow_equals_expression(docs):
+    """The one-pass Arrow sketch must be bit-identical to the 32-HOF
+    expression form (which remains the DuckDB oracle's shape)."""
+    exp = {r["doc_id"]: r["simhash"] for r in dd.simhash(docs).collect()}
+    arw = {r["doc_id"]: r["simhash"] for r in dd.simhash_arrow(docs).collect()}
+    assert exp == arw
+
+
+def test_jaccard_stop_shingle_cap(spark):
+    """A boilerplate shingle shared by EVERY doc must not explode the
+    posting self-join: with max_df capping it out, pairs supported only
+    by the boilerplate disappear, genuinely-similar pairs survive."""
+    boiler = "all rights reserved everywhere"
+    rows = [(i, f"unique{i} distinct{i} tokens{i} here {boiler}") for i in range(20)]
+    rows += [(100, "same body text repeated fully"), (101, "same body text repeated fully")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sh = dd.doc_shingles(docs)
+    uncapped = {(r["doc_a"], r["doc_b"]) for r in dd.jaccard_pairs(sh, tau=0.2, max_df=10**6).collect()}
+    capped = {(r["doc_a"], r["doc_b"]) for r in dd.jaccard_pairs(sh, tau=0.2, max_df=10).collect()}
+    assert (100, 101) in capped            # true dup pair survives the cap
+    assert capped < uncapped               # boilerplate-only pairs are gone
+    assert all(a < 100 and b < 100 for a, b in uncapped - capped)
+
+
+def test_lsh_ann_bucket_cap(spark):
+    """A degenerate bucket (many identical vectors) is dropped by
+    max_bucket instead of emitting B(B-1)/2 candidates."""
+    v = [1.0] * 8
+    w = [1.0] * 7 + [-1.0]
+    rows = [(i, v) for i in range(40)] + [(100, w), (101, w)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    capped = {
+        (r["vec_a"], r["vec_b"])
+        for r in sim.lsh_ann_pairs(emb, tau=0.5, n_tables=2, max_bucket=10).collect()
+    }
+    assert all(a >= 100 for a, _ in capped)  # the 40-clone bucket never pairs
+    uncapped = {
+        (r["vec_a"], r["vec_b"])
+        for r in sim.lsh_ann_pairs(emb, tau=0.5, n_tables=2, max_bucket=1000).collect()
+    }
+    assert len(uncapped) > len(capped)
+
+
+def test_blocked_exact_pairs_equal_naive(spark, sf_dir):
+    """near_pairs_exact_blocked must reproduce the naive all-pairs fold
+    plan exactly (ids AND 6-dp values) — it is the registered query."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    naive = {(r["vec_a"], r["vec_b"]): r["cos_sim"]
+             for r in dd.embedding_near_pairs(emb, tau=0.3).collect()}
+    blocked = {(r["vec_a"], r["vec_b"]): r["cos_sim"]
+               for r in sim.near_pairs_exact_blocked(emb, tau=0.3).collect()}
+    assert naive == blocked
+
+
 def test_asof_join_semantics(spark):
     from web_scraper_spark.operators.asof import asof_join
 

@@ -108,6 +108,53 @@ def test_load_vocab_file(tmp_path, spark):
     assert got[0]["rel_type"] == "ORG_LOCATION"
 
 
+def test_llm_classifier_batching_rotation_backoff():
+    """O9/ST7 harness: fixed-size batching, key rotation on rate limits,
+    exponential backoff, retry-exhaustion fallback — pure-Python unit
+    (the classifier runs per-partition inside the UDF unchanged)."""
+    from web_scraper_spark.pipeline.relations import LlmClassifier, RateLimitError
+
+    state = {"n": 0}
+    def flaky(key, sentences):
+        state["n"] += 1
+        if state["n"] <= 2:  # first two transport calls are rate-limited
+            raise RateLimitError(key)
+        return [f"OK_{key}"] * len(sentences)
+
+    sleeps: list[float] = []
+    clf = LlmClassifier(
+        flaky, api_keys=("k0", "k1", "k2"), batch_size=10,
+        max_retries=3, backoff_s=1.0, sleep=sleeps.append,
+    )
+    import pandas as pd
+    got = clf(pd.Series([f"s{i}" for i in range(25)]))
+    # batching: 25 items / 10 → chunks of 10, 10, 5
+    assert [n for _, n, _ in clf.calls][:3] == [10, 10, 10]  # retried first chunk
+    # rotation: k0 → k1 (both limited) → k2 succeeds; later chunks stay on k2
+    assert [k for k, _, _ in clf.calls] == ["k0", "k1", "k2", "k2", "k2"]
+    assert sleeps == [1.0, 2.0]  # exponential backoff between attempts
+    assert set(got) == {"OK_k2"}
+    # retry exhaustion → deterministic fallback, job never fails
+    def always_limited(key, sentences):
+        raise RateLimitError(key)
+    clf2 = LlmClassifier(always_limited, api_keys=("a", "b"), batch_size=4,
+                         max_retries=3, backoff_s=0.0, sleep=lambda s: None)
+    got2 = clf2(pd.Series(["x", "y"]))
+    assert list(got2) == ["RELATED_TO", "RELATED_TO"]
+    assert len(clf2.calls) == 3  # exactly the retry budget
+
+
+def test_llm_classifier_inside_spark_tier(spark):
+    """The harness plugs into llm_tier unchanged (classify_fn contract)."""
+    from web_scraper_spark.pipeline.relations import LlmClassifier, llm_tier
+
+    clf = LlmClassifier(lambda key, ss: [f"T_{s[-1].upper()}" for s in ss],
+                        api_keys=("k",), batch_size=2, backoff_s=0.0)
+    df = spark.createDataFrame([("alpha a",), ("beta b",)], "sentence string")
+    got = {r["sentence"]: r["rel_type"] for r in llm_tier(df, clf).collect()}
+    assert got == {"alpha a": "T_A", "beta b": "T_B"}
+
+
 def test_full_vocab_scale_compiles_and_classifies(spark):
     """The production-size vocabulary (19 types, ~1,120 phrases, largest
     alternation 226 phrases) must compile as one Java regex per type and

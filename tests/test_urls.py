@@ -68,6 +68,34 @@ def test_native_chain_matches_python_on_percent_free(spark):
         assert r["native"] == canon_url_py(s) == r["udf"], s
 
 
+def test_with_canon_split_semantics_and_plan(spark):
+    """with_canon must equal canon_url_py on every row (native branch for
+    %-free URLs, UDF branch for escaped ones, NULL passthrough), and the
+    native branch must carry no Python stage — the Arrow UDF appears once
+    in the plan, gated behind the Contains('%') filter."""
+    from pyspark.sql import functions as F
+
+    from web_scraper_spark.urls import with_canon
+
+    samples = [
+        "HTTP://Example.COM:80/a//b#frag",
+        "https://b.example/p%61th/%7Euser",   # percent branch
+        "https://c.example/ok",
+        None,
+        "relative/path",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "url string")
+    out = with_canon(df)
+    got = {r["url"]: r["url_canon"] for r in out.collect()}
+    assert len(got) == len(samples)
+    for s in samples:
+        assert got[s] == (canon_url_py(s) if s is not None else None), s
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    n_python = plan.count("ArrowEvalPython") + plan.count("BatchEvalPython")
+    assert n_python == 1  # exactly the escaped branch
+    assert "Contains" in plan  # ... and it sits behind the '%' filter
+
+
 def test_xxhash_bucket_stability(spark):
     """url_hash is Spark-native xxhash64 — stable across sessions/plans."""
     from pyspark.sql import functions as F

@@ -35,12 +35,16 @@ from datetime import datetime, timedelta
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from web_scraper_spark.frontier.bloom import BloomSpec, build_bucket_blooms, split_by_bloom
+from web_scraper_spark.frontier.bloom import (
+    BloomSpec,
+    bucket_bloom_df,
+    split_by_bloom_table,
+)
 from web_scraper_spark.frontier.politeness import priority_order, robots_filter, select_round
 from web_scraper_spark.frontier.state import CrawlState, FETCH_LOG_SCHEMA, FRONTIER_SCHEMA
 from web_scraper_spark.functions.timeparse import parse_time_col
 from web_scraper_spark.html.udfs import parse_pages
-from web_scraper_spark.urls import canon_url, url_hash, url_host
+from web_scraper_spark.urls import url_hash, url_host, with_canon
 
 
 @dataclass
@@ -57,6 +61,15 @@ class CrawlConfig:
     # F6 — category exclusion (gamma/ZNews shape), CrawlPaperZNews.py:34-40
     excluded_categories: tuple = ("Video",)
     sources_by_pos: tuple = ("alpha", "beta", "gamma")  # seed-list order
+    # F4 — alpha URL-slug date window: "as_of" keeps slug date == as_of
+    # (TuoiTre shape); "yesterday" keeps slug date == as_of - 1 day (the
+    # VnNet variant, CrawlPaperVnNet.py:129-141: crawl yesterday's
+    # articles, skip today's, old slugs terminate the scroll)
+    alpha_date_mode: str = "as_of"
+
+    def alpha_target_date(self):
+        d = datetime.fromisoformat(self.as_of).date()
+        return d - timedelta(days=1) if self.alpha_date_mode == "yesterday" else d
 
     def slot_bounds(self) -> tuple[datetime, datetime]:
         t = datetime.fromisoformat(self.as_of)
@@ -71,9 +84,14 @@ class RoundResult:
 
 
 def _with_keys(df: DataFrame, n_buckets: int) -> DataFrame:
-    """Attach url_canon / url_hash / bucket / host derived columns."""
+    """Attach url_canon / url_hash / bucket / host derived columns.
+
+    Canonicalization is native-first (urls.with_canon): the Arrow UDF
+    only ever sees URLs containing '%' — on the synthetic corpus (and
+    most real link graphs) that is zero rows, so the north-rule metric's
+    inner loop is pure whole-stage codegen."""
     return (
-        df.withColumn("url_canon", canon_url(F.col("url")))
+        with_canon(df, "url", "url_canon")
         .withColumn("url_hash", url_hash(F.col("url_canon")))
         .withColumn("bucket", F.pmod(F.col("url_hash"), F.lit(n_buckets)).cast("int"))
         .withColumn("host", url_host(F.col("url_canon")))
@@ -106,8 +124,8 @@ def seed_frontier(spark: SparkSession, seeds: list[str], cfg: CrawlConfig) -> Da
 def prepare_pages(pages: DataFrame) -> DataFrame:
     """Key the stored pages table by canonical URL (computed once, outside
     the round loop — at scale this is a materialized column of the table)."""
-    return pages.select(
-        canon_url(F.col("url")).alias("url_canon"), F.col("html")
+    return with_canon(pages.select("url", "html"), "url", "url_canon").select(
+        "url_canon", "html"
     )
 
 
@@ -128,13 +146,19 @@ class CrawlEngine:
         gate and politeness selection."""
         self.spark = spark
         self.cfg = cfg or CrawlConfig()
-        self.state = CrawlState(spark, state_dir, self.cfg.n_buckets)
+        self.bloom_spec = (
+            BloomSpec(n_buckets=self.cfg.n_buckets, bits_per_bucket=1 << 17)
+            if self.cfg.use_bloom
+            else None
+        )
+        self.state = CrawlState(
+            spark, state_dir, self.cfg.n_buckets, bloom_spec=self.bloom_spec
+        )
         self.pages_keyed = prepare_pages(pages) if pages is not None else None
         self.fetch_fn = fetch_fn
         if pages is None and fetch_fn is None:
             raise ValueError("need a pages table or a fetch_fn")
         self.robots = robots
-        self.bloom_spec = BloomSpec(n_buckets=self.cfg.n_buckets, bits_per_bucket=1 << 17)
 
     # ------------------------------------------------------------------
 
@@ -181,8 +205,16 @@ class CrawlEngine:
         # O1: dedup gate strictly before fetch/parse (never rely on Catalyst
         # to reorder around the opaque parse UDF — SURVEY.md §4)
         if cfg.use_bloom and k > 1:
-            blooms = build_bucket_blooms(seen, self.bloom_spec)
-            definitely_new, maybe = split_by_bloom(frontier, blooms, self.bloom_spec)
+            # table-resident blooms: the committed (bucket, bitmap) table of
+            # round k-1 (incrementally maintained by commit_round); fallback
+            # builds it distributedly from the seen table (still no driver
+            # collect) when resuming a pre-bloom state dir
+            bloom_df = self.state.read_blooms(k - 1)
+            if bloom_df is None:
+                bloom_df = bucket_bloom_df(seen, self.bloom_spec)
+            definitely_new, maybe = split_by_bloom_table(
+                frontier, bloom_df, self.bloom_spec
+            )
             maybe_clean = maybe.join(seen, on=["bucket", "url_hash"], how="left_anti")
             candidates = definitely_new.unionByName(maybe_clean)
         else:
@@ -223,7 +255,16 @@ class CrawlEngine:
 
         articles = (
             parsed.filter(F.col("rec_type") == "article")
-            .withColumn("publish_ts", parse_time_col(F.col("source"), F.col("time_str")))
+            # as_of-anchored: beta's relative forms ('X giờ trước', 'Hôm
+            # qua, HH:MM') resolve against the parameter clock, never now()
+            .withColumn(
+                "publish_ts",
+                parse_time_col(
+                    F.col("source"),
+                    F.col("time_str"),
+                    as_of=F.lit(cfg.as_of).cast("timestamp"),
+                ),
+            )
             .withColumn(
                 "in_window",
                 F.col("publish_ts").between(F.lit(slot_start), F.lit(slot_end)),
@@ -368,12 +409,13 @@ class CrawlEngine:
                 "category_name", "category_pos", "page_no", "listing_pos",
                 F.coalesce("listing_date", F.lit("")).alias("listing_date"),
             )
-            # F4: alpha URL-slug date filter (CrawlPaperTuoiTre.py:176-189)
+            # F4: alpha URL-slug date filter — target date parameterized:
+            # == as_of (TuoiTre) or == as_of-1 (VnNet yesterday window)
             .filter(
                 (F.col("source") != "alpha")
                 | (
                     F.expr(r"try_to_date(regexp_extract(url, '-(\\d{8})\\d*\\.htm$', 1), 'yyyyMMdd')")
-                    == F.lit(as_of_date)
+                    == F.lit(cfg.alpha_target_date())
                 )
             )
             # F5: gamma listing-date filter (CrawlPaperZNews.py:218-237)

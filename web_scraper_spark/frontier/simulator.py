@@ -75,7 +75,9 @@ def simulate_crawl(
         )
 
     slot_start, slot_end = crawl_cfg.slot_bounds()
-    as_of_date = datetime.fromisoformat(crawl_cfg.as_of).date()
+    as_of_dt = datetime.fromisoformat(crawl_cfg.as_of)
+    as_of_date = as_of_dt.date()
+    alpha_target = crawl_cfg.alpha_target_date()  # F4 as_of/yesterday mode
     src_pos = {s: i for i, s in enumerate(crawl_cfg.sources_by_pos)}
 
     frontier: dict[str, SimEntry] = {}
@@ -134,7 +136,7 @@ def simulate_crawl(
             art = None
             if e.depth == 2:
                 art = extract_article(e.source, e.url, e.category_name, html)
-                pt = parse_time_py(e.source, art.time)
+                pt = parse_time_py(e.source, art.time, as_of=as_of_dt)
                 if pt is None or not (slot_start <= pt <= slot_end):
                     status = "skipped_out_of_window"  # F3: not sealed
             row = {
@@ -169,7 +171,7 @@ def simulate_crawl(
                             import re
 
                             m = re.search(r"-(\d{8})\d*\.htm$", href)
-                            if not m or datetime.strptime(m.group(1), "%Y%m%d").date() != as_of_date:
+                            if not m or datetime.strptime(m.group(1), "%Y%m%d").date() != alpha_target:
                                 continue
                         if e.source == "gamma":  # F5 listing-date
                             try:

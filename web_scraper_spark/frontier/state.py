@@ -62,11 +62,24 @@ def _partition_counts(path: str) -> list[int]:
     return counts
 
 
+BLOOM_TABLE_SCHEMA = "bucket int, bitmap binary"
+
+
 class CrawlState:
-    def __init__(self, spark: SparkSession, state_dir: str, n_buckets: int = 16):
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        n_buckets: int = 16,
+        bloom_spec=None,
+    ):
+        """bloom_spec: when set, each commit also maintains the
+        (bucket, bitmap) Bloom table incrementally — blooms(k) =
+        blooms(k-1) OR bitmaps(seen_delta(k)) — entirely executor-side."""
         self.spark = spark
         self.dir = state_dir
         self.n_buckets = n_buckets
+        self.bloom_spec = bloom_spec
         os.makedirs(state_dir, exist_ok=True)
 
     # -- round bookkeeping ---------------------------------------------------
@@ -152,6 +165,14 @@ class CrawlState:
             f.write(str(upto))
         return upto
 
+    def read_blooms(self, k: int) -> DataFrame | None:
+        """The committed (bucket, bitmap) Bloom table of round k, or None
+        when that round has no bloom dataset (pre-bloom state dirs)."""
+        p = os.path.join(self._round_dir(k), "bloom")
+        if not os.path.isdir(p):
+            return None
+        return self.spark.read.schema(BLOOM_TABLE_SCHEMA).parquet(p)
+
     def read_fetch_log(self, upto_round: int | None = None) -> DataFrame:
         upto = self.last_committed_round() if upto_round is None else upto_round
         paths = [
@@ -189,6 +210,24 @@ class CrawlState:
         lineage["seen_delta"] = _partition_counts(os.path.join(rd, "seen_delta"))
         fetch_log.write.mode("overwrite").parquet(os.path.join(rd, "fetch_log"))
         lineage["fetch_log"] = _partition_counts(os.path.join(rd, "fetch_log"))
+        if self.bloom_spec is not None:
+            # incremental bloom: bitmaps of THIS round's delta (re-read from
+            # what was just written — no upstream recompute) OR-merged into
+            # the previous round's table; no bitmap ever touches the driver
+            from web_scraper_spark.frontier.bloom import (
+                bucket_bloom_df,
+                merge_bloom_tables,
+            )
+
+            delta = bucket_bloom_df(
+                self.spark.read.schema(SEEN_SCHEMA).parquet(
+                    os.path.join(rd, "seen_delta")
+                ),
+                self.bloom_spec,
+            )
+            prev = self.read_blooms(k - 1)
+            merged = delta if prev is None else merge_bloom_tables(prev, delta)
+            merged.write.mode("overwrite").parquet(os.path.join(rd, "bloom"))
         man = {"round": k, "lineage": lineage, "metrics": metrics}
         fd, tmp = tempfile.mkstemp(dir=rd, prefix=".manifest-")
         with os.fdopen(fd, "w") as f:

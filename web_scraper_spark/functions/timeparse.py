@@ -62,15 +62,28 @@ def parse_time_col(source_col: Column, ts_col: Column, as_of: Column | None = No
     return F.when(source_col == "alpha", alpha).otherwise(bg)
 
 
-def parse_time_py(source: str, s: str) -> datetime | None:
-    """Sequential twin of :func:`parse_time_col`."""
+def parse_time_py(source: str, s: str, as_of: datetime | None = None) -> datetime | None:
+    """Sequential twin of :func:`parse_time_col` (including the relative
+    forms when ``as_of`` is given — same anchoring, same source gating)."""
     import re
+    from datetime import timedelta
 
     if not s:
         return None
     try:
         if source == "alpha":
             return datetime.strptime(re.sub(r"\s*GMT\+7\s*$", "", s), "%d/%m/%Y %H:%M")
+        if as_of is not None:
+            m = re.match(r"^(\d+) giờ trước$", s)
+            if m:
+                return as_of - timedelta(hours=int(m.group(1)))
+            m = re.match(r"^(\d+) phút trước$", s)
+            if m:
+                return as_of - timedelta(minutes=int(m.group(1)))
+            m = re.match(r"^Hôm qua, (\d{1,2}):(\d{2})$", s)
+            if m:
+                d = as_of.date() - timedelta(days=1)
+                return datetime(d.year, d.month, d.day, int(m.group(1)), int(m.group(2)))
         t = re.sub(r"^[^,]+,\s*", "", s)
         t = re.sub(r"\s*\(GMT\+7\)\s*$", "", t)
         for fmt in ("%d/%m/%Y, %H:%M", "%d/%m/%Y %H:%M"):

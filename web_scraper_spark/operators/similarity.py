@@ -168,6 +168,101 @@ def near_pairs_blocked(emb: DataFrame, tau: float = 0.9) -> DataFrame:
     )
 
 
+def near_pairs_exact_blocked(
+    emb: DataFrame, tau: float = 0.9, n_blocks: int = 16, margin: float = 1e-5
+) -> DataFrame:
+    """Exact cosine near-pairs (same contract as dedup.embedding_near_pairs)
+    without the crossJoin OR the driver-resident corpus matrix.
+
+    Stage 1 — BLAS candidate filter: vectors pack into ``n_blocks`` block
+    matrices executor-side (applyInPandas per block); the B(B+1)/2 block
+    PAIRS form via a tiny non-equi join on block ids; each pair computes
+    X_a @ X_b.T with BLAS and emits only id pairs with sim >= tau-margin.
+    All O(n²) arithmetic runs in BLAS on executors; the shuffle carries
+    B² matrix rows plus surviving candidates — no per-pair row explosion,
+    no driver state (vs near_pairs_blocked's full-corpus collect).
+    At larger corpora n_blocks grows ~sqrt(n) to bound block bytes.
+
+    Stage 2 — exact verify: candidates join the embeddings and re-score
+    with the sequential fold expression (cosine_expr), so emitted values
+    are bit-identical to the brute-force all-pairs oracle. The margin
+    (1e-5 >> BLAS-vs-fold reordering error ~1e-13 and the 6-dp rounding
+    step 5e-7) guarantees no pair at or above tau is lost.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        M = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        return pd.DataFrame(
+            {
+                "blk": [int(pdf["_blk"].iloc[0])],
+                "ids": [ids.tolist()],
+                "mat": [M.ravel().tolist()],
+                "dim": [int(M.shape[1])],
+            }
+        )
+
+    blocks = (
+        emb.select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+            F.pmod(F.col("vec_id"), F.lit(n_blocks)).alias("_blk"),
+        )
+        .groupBy("_blk")
+        .applyInPandas(pack, schema="blk int, ids array<bigint>, mat array<double>, dim int")
+    )
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    block_pairs = a.join(b, F.col("a.blk") <= F.col("b.blk")).select(
+        F.col("a.blk").alias("blk_a"),
+        F.col("a.ids").alias("ids_a"),
+        F.col("a.mat").alias("mat_a"),
+        F.col("a.dim").alias("dim"),
+        F.col("b.blk").alias("blk_b"),
+        F.col("b.ids").alias("ids_b"),
+        F.col("b.mat").alias("mat_b"),
+    )
+
+    cut = tau - margin
+
+    def score(it):
+        for pdf in it:
+            out_a, out_b = [], []
+            for row in pdf.itertuples(index=False):
+                ia = np.asarray(row.ids_a, dtype=np.int64)
+                ib = np.asarray(row.ids_b, dtype=np.int64)
+                Ma = np.asarray(row.mat_a, dtype=np.float64).reshape(len(ia), row.dim)
+                Mb = np.asarray(row.mat_b, dtype=np.float64).reshape(len(ib), row.dim)
+                S = Ma @ Mb.T
+                ii, jj = np.nonzero(S >= cut)
+                for i, j in zip(ii, jj):
+                    x, y = int(ia[i]), int(ib[j])
+                    if x == y:
+                        continue
+                    out_a.append(min(x, y))
+                    out_b.append(max(x, y))
+            if out_a:
+                yield pd.DataFrame({"vec_a": out_a, "vec_b": out_b}).drop_duplicates()
+
+    cand = block_pairs.mapInPandas(score, schema="vec_a bigint, vec_b bigint").distinct()
+    ea = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").cast("array<double>").alias("ea")
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").cast("array<double>").alias("eb")
+    )
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn("cos_sim", cosine_expr(F.col("ea"), F.col("eb")))
+        .where(F.col("cos_sim") >= tau)
+        .select("vec_a", "vec_b", "cos_sim")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Random-hyperplane LSH
 # ---------------------------------------------------------------------------
@@ -303,15 +398,24 @@ def ivf_topk(
     )
 
 
-def lsh_ann_pairs(emb: DataFrame, tau: float = 0.9, n_tables: int = 2) -> DataFrame:
+def lsh_ann_pairs(
+    emb: DataFrame, tau: float = 0.9, n_tables: int = 2, max_bucket: int = 64
+) -> DataFrame:
     """Near-neighbor pairs via bucket collision in any table, exact-scored.
 
     The cross-join disappears: candidates only form inside (tbl, bucket)
-    groups. Hot buckets (dense regions) are the skew case — AQE skew-join
-    splits them; a production variant adds a bucket-size cap like
-    dedup.lsh_candidate_pairs.
+    groups. Hot buckets (dense regions) are the skew case: a bucket of B
+    vectors emits B(B-1)/2 candidates, so ``max_bucket`` drops degenerate
+    buckets entirely (same policy as dedup.lsh_candidate_pairs — an
+    over-dense bucket means the hyperplanes don't discriminate there, and
+    another table usually recovers the pair). The SQL oracle twin applies
+    the identical cap, keeping the driver check value-exact.
     """
     buckets = lsh_buckets(emb, n_tables)
+    w = Window.partitionBy("tbl", "bucket")
+    buckets = buckets.withColumn("bsize", F.count("*").over(w)).where(
+        F.col("bsize") <= max_bucket
+    )
     a = buckets.alias("a")
     b = buckets.alias("b")
     cand = (
@@ -331,10 +435,19 @@ def lsh_ann_pairs(emb: DataFrame, tau: float = 0.9, n_tables: int = 2) -> DataFr
     )
 
 
-def lsh_ann_pairs_sql(table: str = "embeddings", tau: float = 0.9, n_tables: int = 2) -> str:
+def lsh_ann_pairs_sql(
+    table: str = "embeddings", tau: float = 0.9, n_tables: int = 2, max_bucket: int = 64
+) -> str:
     cos = cosine_sql("ea.embedding", "eb.embedding")
     return f"""
-        WITH buckets AS ({lsh_buckets_sql(table, n_tables)}),
+        WITH buckets0 AS ({lsh_buckets_sql(table, n_tables)}),
+        buckets AS (
+            SELECT * FROM (
+                SELECT vec_id, tbl, bucket,
+                       count(*) OVER (PARTITION BY tbl, bucket) AS bsize
+                FROM buckets0
+            ) WHERE bsize <= {max_bucket}
+        ),
         cand AS (
             SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
             FROM buckets a JOIN buckets b

@@ -97,9 +97,72 @@ def regex_tier_sql(sentence_expr: str, vocab: dict[str, list[str]] | None = None
 
 def _default_classify(batch: pd.Series) -> pd.Series:
     """LLM-tier stub: deterministic fallback label. A real deployment
-    replaces this with the batched API call (retry ×3 + exponential
-    backoff + key rotation live INSIDE the UDF, per partition — O9/ST7)."""
+    injects :class:`LlmClassifier` with an HTTP transport instead."""
     return pd.Series(["RELATED_TO"] * len(batch), index=batch.index)
+
+
+class RateLimitError(RuntimeError):
+    """Transport signal for a quota/429 response → rotate the API key."""
+
+
+class LlmClassifier:
+    """The external-tier call harness (O9/ST7), running INSIDE the UDF so
+    every partition gets its own instance — bounded partitions = bounded
+    API concurrency, no driver coordination.
+
+    Reference semantics (relation_extraction.py:21-33,127-171): sentences
+    go out in fixed-size batches; a rate-limit response rotates to the
+    next API key (the reference cycles a key list) and retries with
+    exponential backoff, up to ``max_retries`` attempts per batch; a batch
+    that exhausts its retries falls back to the deterministic default
+    label rather than failing the job. ``transport(key, sentences) ->
+    labels`` is injectable — tests use a fake; a deployment supplies the
+    HTTP call. ``calls`` records (key, n_items, attempt) per transport
+    invocation for test inspection.
+    """
+
+    FALLBACK = "RELATED_TO"
+
+    def __init__(
+        self,
+        transport,
+        api_keys: tuple[str, ...] = ("key0",),
+        batch_size: int = 32,
+        max_retries: int = 3,
+        backoff_s: float = 1.0,
+        sleep=None,
+    ):
+        import time
+
+        self.transport = transport
+        self.api_keys = tuple(api_keys)
+        self.batch_size = batch_size
+        self.max_retries = max_retries
+        self.backoff_s = backoff_s
+        self.sleep = sleep if sleep is not None else time.sleep
+        self._key_ix = 0
+        self.calls: list[tuple[str, int, int]] = []
+
+    def __call__(self, batch: pd.Series) -> pd.Series:
+        out: list[str] = []
+        for lo in range(0, len(batch), self.batch_size):
+            chunk = list(batch.iloc[lo : lo + self.batch_size])
+            labels = None
+            for attempt in range(self.max_retries):
+                key = self.api_keys[self._key_ix % len(self.api_keys)]
+                self.calls.append((key, len(chunk), attempt))
+                try:
+                    labels = list(self.transport(key, chunk))
+                    break
+                except RateLimitError:
+                    self._key_ix += 1  # rotate key, then back off
+                    self.sleep(self.backoff_s * (2**attempt))
+                except Exception:
+                    self.sleep(self.backoff_s * (2**attempt))
+            if labels is None:  # retry budget exhausted → deterministic fallback
+                labels = [self.FALLBACK] * len(chunk)
+            out.extend(labels)
+        return pd.Series(out, index=batch.index)
 
 
 def llm_tier(

@@ -154,15 +154,22 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dd.simhash(_docs(spark, sf_dir))
+    """SimHash signatures via the one-pass Arrow sketch (bit-identical to
+    the expression form dd.simhash, whose SQL stays the oracle)."""
+    return dd.simhash_arrow(_docs(spark, sf_dir))
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dd.simhash_near_pairs(dd.simhash(_docs(spark, sf_dir)), max_hamming=3)
+    return dd.simhash_near_pairs(dd.simhash_arrow(_docs(spark, sf_dir)), max_hamming=3)
 
 
 def q_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dd.embedding_near_pairs(_emb(spark, sf_dir), tau=0.28)
+    """Exact cosine near-pairs via the blocked-BLAS candidate filter +
+    fold-exact verify (similarity.near_pairs_exact_blocked) — value-exact
+    against the brute-force all-pairs oracle, but no crossJoin and no
+    per-pair interpreted fold (r1's 28 s scale-killer). The naive plan
+    survives as dd.embedding_near_pairs (the oracle twin's shape)."""
+    return sim.near_pairs_exact_blocked(_emb(spark, sf_dir), tau=0.28)
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -68,6 +68,11 @@ class SiteConfig:
             "gamma": "https://gamma.example",
         }
     )
+    # when set (ISO timestamp), beta articles published shortly before it
+    # render RELATIVE visible times ('N phút trước' / 'N giờ trước' /
+    # 'Hôm qua, H:MM' — CrawlPaperVNExpress.py:87-104 forms), exercising
+    # the as_of-anchored parse path end-to-end
+    relative_as_of: str | None = None
     # robots.txt crawl-delay seconds per source (north-rule additive)
     crawl_delay: dict = field(
         default_factory=lambda: {"alpha": 1.0, "beta": 0.5, "gamma": 2.0}
@@ -93,11 +98,26 @@ def _publish_dt(cfg: SiteConfig, source: str, cat_pos: int, art_idx: int) -> dat
     return base + timedelta(days=day, hours=hour, minutes=minute)
 
 
-def _time_str(source: str, dt: datetime) -> str:
-    """Render the per-source visible time string (X3/X4 parse targets)."""
+def _time_str(source: str, dt: datetime, relative_as_of: str | None = None) -> str:
+    """Render the per-source visible time string (X3/X4 parse targets).
+
+    With ``relative_as_of``, recent beta articles render the relative
+    forms; each is minute-exact so the as_of-anchored parse reconstructs
+    the publish time bit-for-bit."""
     if source == "alpha":
         # '%d/%m/%Y %H:%M GMT+7' — ConnectAndSave.py:50
         return dt.strftime("%d/%m/%Y %H:%M GMT+7")
+    if source == "beta" and relative_as_of:
+        as_of = datetime.fromisoformat(relative_as_of)
+        secs = (as_of - dt).total_seconds()
+        if secs % 60 == 0:
+            mins = int(secs // 60)
+            if 0 < mins <= 120:
+                return f"{mins} phút trước"
+            if 0 < mins < 24 * 60 and mins % 60 == 0:
+                return f"{mins // 60} giờ trước"
+        if dt.date() == (as_of - timedelta(days=1)).date():
+            return f"Hôm qua, {dt.hour}:{dt.minute:02d}"
     wd = WEEKDAYS_VI[dt.weekday()]
     if source == "beta":
         # weekday prefix, non-padded day/month, '(GMT+7)' — ConnectAndSave.py:53-60
@@ -137,6 +157,7 @@ def _article_urls(cfg: SiteConfig, source: str, cat: tuple[str, str], cat_pos: i
                 "listing_pos": i,
                 "publish_ts": dt.isoformat(),
                 "title_seed": title_words,
+                "relative_as_of": cfg.relative_as_of,
             }
         )
     return rows
@@ -311,7 +332,7 @@ def render_page(spec: dict) -> bytes:
 
     if kind == "article":
         dt = datetime.fromisoformat(spec["publish_ts"])
-        tstr = _time_str(src, dt)
+        tstr = _time_str(src, dt, spec.get("relative_as_of"))
         title = spec["title_seed"].capitalize()
         paras = _paragraphs(spec["url"], rng)
         kws = sorted({rng.choice(WORDS) for _ in range(3)})

@@ -117,6 +117,24 @@ def canon_url(col: Column, percent_decode: bool = True) -> Column:
     return F.when(scheme == "", c).otherwise(canon)
 
 
+def with_canon(df, src: str = "url", out: str = "url_canon"):
+    """Attach the canonical URL with the native-first split the module
+    docstring prescribes: URLs with no '%' escape (the overwhelmingly
+    common case) run the all-native Catalyst chain inside codegen; only
+    the %-subset pays the Arrow UDF. The two branches are disjoint
+    filters of the same frame union'd back — on a %-free corpus the
+    Python stage receives zero rows. NULL urls ride the native branch
+    (both paths map NULL → NULL)."""
+    has_pct = F.col(src).contains("%")
+    clean = df.filter(F.coalesce(~has_pct, F.lit(True))).withColumn(
+        out, canon_url(F.col(src), percent_decode=False)
+    )
+    esc = df.filter(F.coalesce(has_pct, F.lit(False))).withColumn(
+        out, _canon_udf()(F.col(src))
+    )
+    return clean.unionByName(esc)
+
+
 def url_host(col: Column) -> Column:
     """Lowercased host of a URL column — native (``parse_url`` is JVM-side)."""
     return F.lower(F.parse_url(col, F.lit("HOST")))
