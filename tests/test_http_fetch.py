@@ -111,6 +111,23 @@ def test_http_fetch_pacing_honors_slots(spark, replay_server):
     assert elapsed >= 1.2  # the 1.2 s slot was waited out
 
 
+def test_http_fetch_worker_recycling(spark, site_cfg, replay_server):
+    """ST6: the per-task fetch session is rebuilt every recycle_every
+    fetches — session_gen advances, results unaffected."""
+    from web_scraper_spark.fetch.http import http_fetch_batch
+    from web_scraper_spark.synth.sitegen import build_site
+
+    rewrite = _rewrite_factory(replay_server)
+    urls = [s["url"] for s in build_site(site_cfg)][:9]
+    df = spark.createDataFrame([(u,) for u in urls], "url string").coalesce(1)
+    out = http_fetch_batch(
+        df, url_rewrite=rewrite, timeout_s=5.0, recycle_every=3
+    ).collect()
+    assert all(r["fetched_ok"] for r in out)
+    gens = sorted({r["session_gen"] for r in out})
+    assert gens == [0, 1, 2]  # 9 fetches / recycle_every=3 → 3 generations
+
+
 def test_http_fetch_retries_and_failures(spark, replay_server):
     from web_scraper_spark.fetch.http import http_fetch_batch
 

@@ -45,6 +45,45 @@ def test_q3_broadcasts_dimension(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_no_single_partition_windows(spark, sf_dir):
+    """The r1 scale-killers: a Window with no partitionBy serializes the
+    whole frame through one task (plan shows a SinglePartition exchange).
+    assign_ids and the two-phase global rank must never reintroduce one."""
+    from web_scraper_spark.operators.analytics import assign_ids
+    from web_scraper_spark.operators.ranking import with_global_rank
+
+    plan = _plan(assign_ids(spark, sf_dir))
+    assert "SinglePartition" not in plan
+
+    df = spark.range(1000).select(F.col("id"), (F.col("id") % 7).alias("k"))
+    ranked, handle = with_global_rank(df, [F.col("k").asc(), F.col("id").asc()], "rk")
+    assert "SinglePartition" not in _plan(ranked)
+    # and the ranks equal the global-window reference
+    w = Window.orderBy(F.col("k").asc(), F.col("id").asc())
+    want = {
+        (r["id"], r["rk"])
+        for r in df.withColumn("rk", F.row_number().over(w).cast("long")).collect()
+    }
+    got = {(r["id"], r["rk"]) for r in ranked.collect()}
+    handle.unpersist()
+    assert got == want
+
+
+def test_frontier_canon_native_for_percent_free(spark):
+    """The frontier-expand key derivation must keep %-free URLs fully
+    JVM-side: the only Python stage in the plan is the escaped branch."""
+    from web_scraper_spark.frontier.engine import _with_keys
+
+    df = spark.createDataFrame(
+        [(f"https://h{i % 9}.example/p/{i}",) for i in range(100)], "url string"
+    )
+    keyed = _with_keys(df, 16)
+    plan = _plan(keyed)
+    n_python = plan.count("ArrowEvalPython") + plan.count("BatchEvalPython")
+    assert n_python == 1  # exactly the Contains('%') branch
+    assert keyed.filter(F.col("url_canon").isNull()).count() == 0
+
+
 def test_two_phase_politeness_equals_single_window(spark):
     """The salted pre-cap must be output-identical to the plain per-host
     budget window — including under heavy skew (one hot host)."""

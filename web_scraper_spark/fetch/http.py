@@ -29,7 +29,10 @@ from collections.abc import Callable, Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
-FETCH_SCHEMA = "url string, status_code int, html binary, fetched_ok boolean, attempts int"
+FETCH_SCHEMA = (
+    "url string, status_code int, html binary, fetched_ok boolean, "
+    "attempts int, session_gen int"
+)
 
 
 def http_fetch_batch(
@@ -39,11 +42,20 @@ def http_fetch_batch(
     max_attempts: int = 3,
     backoff_s: float = 0.2,
     pace: bool = False,
+    recycle_every: int = 200,
 ) -> DataFrame:
     """urls(url [, fetch_slot_s]) → (url, status_code, html, fetched_ok,
-    attempts). pace=True sleeps out each row's scheduled ``fetch_slot_s``
-    offset relative to the batch start (the parallel analogue of the
-    reference's inter-article sleeps)."""
+    attempts, session_gen). pace=True sleeps out each row's scheduled
+    ``fetch_slot_s`` offset relative to the batch start (the parallel
+    analogue of the reference's inter-article sleeps).
+
+    ST6 worker recycling: each task keeps a long-lived opener (connection
+    pool / cookie state — the analogue of the reference's Chrome
+    instance) and rebuilds it after ``recycle_every`` fetches, bounding
+    per-session resource growth the way the reference restarts its
+    browser every batch (CrawlPaperTuoiTre.py worker restart). The
+    emitted ``session_gen`` says which session generation served the row
+    (test-assertable)."""
     has_slot = "fetch_slot_s" in urls.columns
     cols = ["url"] + (["fetch_slot_s"] if has_slot else [])
 
@@ -52,6 +64,9 @@ def http_fetch_batch(
         import urllib.request
 
         rewrite = url_rewrite or (lambda u: u)
+        opener = urllib.request.build_opener()
+        fetches = 0
+        gen = 0
         for pdf in it:
             t_start = time.monotonic()
             out = []
@@ -60,12 +75,15 @@ def http_fetch_batch(
                     wait = row.fetch_slot_s - (time.monotonic() - t_start)
                     if wait > 0:
                         time.sleep(wait)
+                if fetches and fetches % recycle_every == 0:
+                    opener.close()
+                    opener = urllib.request.build_opener()  # recycle (ST6)
+                    gen += 1
+                fetches += 1
                 status, body, ok, attempt = 0, None, False, 0
                 for attempt in range(1, max_attempts + 1):
                     try:
-                        with urllib.request.urlopen(
-                            rewrite(row.url), timeout=timeout_s
-                        ) as resp:
+                        with opener.open(rewrite(row.url), timeout=timeout_s) as resp:
                             status, body, ok = resp.status, resp.read(), True
                         break
                     except urllib.error.HTTPError as ex:
@@ -75,9 +93,12 @@ def http_fetch_batch(
                     except (urllib.error.URLError, TimeoutError, OSError):
                         status = -1
                     time.sleep(backoff_s * (2 ** (attempt - 1)))
-                out.append((row.url, status, body, ok, attempt))
+                out.append((row.url, status, body, ok, attempt, gen))
             yield pd.DataFrame(
-                out, columns=["url", "status_code", "html", "fetched_ok", "attempts"]
+                out,
+                columns=[
+                    "url", "status_code", "html", "fetched_ok", "attempts", "session_gen",
+                ],
             )
 
     return urls.select(*cols).mapInPandas(run, schema=FETCH_SCHEMA)

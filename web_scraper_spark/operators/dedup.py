@@ -50,6 +50,18 @@ N_BANDS = 4  # 4 bands x 3 rows: P(candidate) = 1-(1-j^3)^4
 
 import re as _re
 
+
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Ensure an Arrow (mapInPandas) pass has at least default-parallelism
+    input partitions: a small-SF table is often ONE parquet file, which
+    would serialize the whole Python stage through a single task (measured
+    10 s single-threaded vs <1 s fanned at sf0.1). At production scale the
+    scan already has many partitions and this is a no-op."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
 # ASCII flag: Java regex \s (what the Column expressions use) is ASCII-only;
 # Python's default \s would also eat unicode whitespace and diverge
 _WS_RE = _re.compile(r"\s+", _re.ASCII)
@@ -125,6 +137,10 @@ def jaccard_pairs(shingles: DataFrame, tau: float = 0.4, max_df: int = 1000) -> 
     lost are those whose remaining shared shingles can't reach tau. The
     SQL oracle twin applies the identical cap.
     """
+    # the postings frame is referenced four times (set sizes, df counts,
+    # both self-join sides) — cache it or the tokenize+shingle scan reruns
+    # per reference (CLAUDE.md projection-collapse invariant)
+    shingles = shingles.cache()
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     rare = (
         shingles.groupBy("shingle")
@@ -369,9 +385,10 @@ def sketch_docs(
     higher-order-function expressions costs ~13 s because HOF lambdas are
     interpreted per element; this Arrow-batched Python loop does the same
     md5+affine work in ~0.5 s. Values are bit-identical to the expression
-    form and to the DuckDB oracle (hash60 + the affine family). No
-    shuffle; at 10^9 docs this is the scan-stage sketch pass the pipeline
-    persists as its signature table."""
+    form and to the DuckDB oracle (hash60 + the affine family). The only
+    exchange is the small-input fan-out (_fan_out — a no-op at scale);
+    at 10^9 docs this is the scan-stage sketch pass the pipeline persists
+    as its signature table."""
     import hashlib
 
     params = [_affine_params(s) for s in range(n_hashes)]
@@ -412,7 +429,7 @@ def sketch_docs(
                     {"doc_id": ids, "mins": mins_col, "shset": shset_col}
                 )
 
-    return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(
+    return _fan_out(docs.select(F.col(id_col), F.col(text_col))).mapInPandas(
         run, schema="doc_id bigint, mins array<bigint>, shset array<bigint>"
     )
 
@@ -576,7 +593,7 @@ def simhash_arrow(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
             if ids:
                 yield pd.DataFrame({"doc_id": ids, "simhash": sims})
 
-    return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(
+    return _fan_out(docs.select(F.col(id_col), F.col(text_col))).mapInPandas(
         run, schema="doc_id bigint, simhash bigint"
     )
 

@@ -132,12 +132,11 @@ def brute_topk_blocked(emb: DataFrame, n_queries: int = 5, k: int = 10) -> DataF
 
 
 def near_pairs_blocked(emb: DataFrame, tau: float = 0.9) -> DataFrame:
-    """numpy fast path for exact cosine near-pairs: the normalized corpus
-    matrix ships to every task (fine up to ~10^6 x small-dim; beyond that
-    lsh_ann_pairs is the scale path), each Arrow batch computes
-    block @ corpus.T and emits only pairs (vec_a < vec_b, sim >= tau).
-    Rows-only (BLAS summation order vs the fold); equality asserted in
-    tests at 1e-5."""
+    """SMALL-CORPUS reference path (test twin only — not registered): the
+    normalized corpus matrix is collected to the driver and closure-shipped
+    to every task. The production plan is :func:`near_pairs_exact_blocked`,
+    which keeps all matrix blocks executor-side. Rows-only values (BLAS
+    summation order vs the fold); equality asserted in tests at 1e-5."""
     import numpy as np
     from pyspark.sql import functions as F
 

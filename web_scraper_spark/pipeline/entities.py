@@ -101,18 +101,24 @@ def merge_bio(tokens: list[str], tags: list[str]) -> list[tuple[str, str]]:
 NER_SCHEMA = "sentence string, entity string, entity_type string"
 
 
-def ner_batches(sentences: DataFrame) -> DataFrame:
+def ner_batches(sentences: DataFrame, tagger=None) -> DataFrame:
     """P2: (sentence) → (sentence, entity, entity_type) rows, Arrow-batched.
     Keyed by the sentence text itself so the ST8 pattern works: callers
     run this over DISTINCT sentences only and equi-join results back to
-    the (article, position) index — the model never sees a sentence twice."""
+    the (article, position) index — the model never sees a sentence twice.
+
+    ``tagger(tokens) -> BIO tags`` is the model swap point: the default is
+    the reference's capitalization fallback; a real deployment passes the
+    underthesea chunker's tag stream (multi-type B-/I- with type switches
+    and orphan I- tags — merge_bio handles all of them, test-covered)."""
+    tagger = tagger or tag_tokens
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for r in pdf.itertuples(index=False):
                 toks = (r.sentence or "").split()
-                for ent, etype in merge_bio(toks, tag_tokens(toks)):
+                for ent, etype in merge_bio(toks, tagger(toks)):
                     rows.append((r.sentence, ent, etype or "NP"))
             yield pd.DataFrame(rows, columns=["sentence", "entity", "entity_type"])
 
