@@ -84,6 +84,36 @@ def test_frontier_canon_native_for_percent_free(spark):
     assert keyed.filter(F.col("url_canon").isNull()).count() == 0
 
 
+def test_bucketed_join_is_exchange_free(spark, sf_dir, tmp_path):
+    """Co-bucketed writes make the fact-fact join shuffle-free: the SMJ
+    reads matching buckets directly — no Exchange on either side. This is
+    the 100 TB co-location strategy (README 'Deployment & sizing')."""
+    from web_scraper_spark.sources.bucketed import cobucketed_join, write_bucketed
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("orderkey"), "l_quantity"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("orderkey"), "o_totalprice"
+    )
+    write_bucketed(li, "b_lineitem", ["orderkey"], n_buckets=8, sort_cols=["orderkey"])
+    write_bucketed(orders, "b_orders", ["orderkey"], n_buckets=8, sort_cols=["orderkey"])
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        joined = cobucketed_join(spark, "b_lineitem", "b_orders", on=["orderkey"])
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # zero shuffles: buckets align
+        # and the join is correct
+        want = li.join(orders, on="orderkey").count()
+        assert joined.count() == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
 def test_two_phase_politeness_equals_single_window(spark):
     """The salted pre-cap must be output-identical to the plain per-host
     budget window — including under heavy skew (one hot host)."""
