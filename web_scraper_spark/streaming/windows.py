@@ -80,11 +80,18 @@ def stream_slot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "complete")
 
 
-def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_dedup_counts(
+    spark: SparkSession, sf_dir: str, watermark: str = "2 hours"
+) -> DataFrame:
     """ST3: stateful cross-batch dedup on the event key, then per-type
-    counts. The state store holds seen event_ids across micro-batches —
-    the streaming analogue of the crawl engine's persisted seen table."""
-    ev = events_stream(spark, sf_dir)
-    dedup = ev.dropDuplicates(["event_id"])
+    counts. The dedup state is BOUNDED by an event-time watermark
+    (dropDuplicatesWithinWatermark): keys older than the watermark are
+    evicted from the state store, so state size tracks the watermark
+    horizon, not the stream's lifetime — plain dropDuplicates would grow
+    state forever, the unbounded-state scale-killer on a 100 TB stream.
+    Duplicates arriving later than the watermark horizon are the accepted
+    trade (same contract as the crawl's slot-window skip)."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", watermark)
+    dedup = ev.dropDuplicatesWithinWatermark(["event_id"])
     agg = dedup.groupBy("event_type").agg(F.count("*").alias("n_unique"))
     return _run_to_memory(agg, "complete")
