@@ -161,6 +161,39 @@ def test_bloom_no_false_negatives():
     assert fp < 0.9  # loose: bitmap is deliberately small here
 
 
+def test_auto_compaction_preserves_crawl_state(spark):
+    """compact_every folds the seen-delta tail mid-crawl; the final seen
+    set and fetch log must equal the uncompacted crawl exactly."""
+    site = SiteConfig(n_categories=3, articles_per_category=6)
+    pages = build_pages_df(spark, site).cache()
+    robots = build_robots_df(spark, site)
+    cfg_plain = CrawlConfig(as_of="2025-12-01T22:30:00", round_seconds=30.0, max_rounds=5)
+    cfg_comp = CrawlConfig(
+        as_of="2025-12-01T22:30:00", round_seconds=30.0, max_rounds=5, compact_every=2
+    )
+    d1, d2 = tempfile.mkdtemp(prefix="nc_"), tempfile.mkdtemp(prefix="cc_")
+    try:
+        e1 = CrawlEngine(spark, pages, robots, d1, cfg_plain)
+        e1.run(seeds=seed_urls(site))
+        e2 = CrawlEngine(spark, pages, robots, d2, cfg_comp)
+        e2.run(seeds=seed_urls(site))
+        import os
+
+        assert any(n.startswith("seen_compact=") for n in os.listdir(d2))
+        s1 = {r["url_canon"] for r in e1.state.read_seen(999).collect()}
+        s2 = {r["url_canon"] for r in e2.state.read_seen(999).collect()}
+        assert s1 == s2
+        l1 = [(r["round"], r["url_canon"], r["status"])
+              for r in e1.state.read_fetch_log().orderBy("round", "fetch_pos").collect()]
+        l2 = [(r["round"], r["url_canon"], r["status"])
+              for r in e2.state.read_fetch_log().orderBy("round", "fetch_pos").collect()]
+        assert l1 == l2
+    finally:
+        shutil.rmtree(d1, ignore_errors=True)
+        shutil.rmtree(d2, ignore_errors=True)
+        pages.unpersist()
+
+
 def test_crawl_equivalence_yesterday_window_and_relative_times(spark):
     """F4 parameterized to the VnNet yesterday window (slug date ==
     as_of-1) and beta rendering relative visible times ('Hôm qua, H:MM',

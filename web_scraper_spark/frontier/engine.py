@@ -61,6 +61,10 @@ class CrawlConfig:
     # F6 — category exclusion (gamma/ZNews shape), CrawlPaperZNews.py:34-40
     excluded_categories: tuple = ("Video",)
     sources_by_pos: tuple = ("alpha", "beta", "gamma")  # seed-list order
+    # auto-compaction cadence for the seen table's LSM tail: every K
+    # committed rounds, fold base+deltas into one bucketed base (0 = off).
+    # Without it the union-of-deltas read grows linearly with rounds.
+    compact_every: int = 0
     # F4 — alpha URL-slug date window: "as_of" keeps slug date == as_of
     # (TuoiTre shape); "yesterday" keeps slug date == as_of - 1 day (the
     # VnNet variant, CrawlPaperVnNet.py:129-141: crawl yesterday's
@@ -183,6 +187,8 @@ class CrawlEngine:
             res, n_fetched, n_frontier_next = self._run_round(k, fetch_offset)
             results.append(res)
             fetch_offset += n_fetched
+            if self.cfg.compact_every and k % self.cfg.compact_every == 0:
+                self.state.compact_seen(k)  # fold the delta tail (LSM)
             if n_frontier_next == 0:
                 break
         return results
