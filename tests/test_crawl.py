@@ -269,10 +269,11 @@ def test_bloom_table_incremental_merge_and_split(spark):
     bloom_df = bucket_bloom_df(to_df(h1), spec)
     fresh = np.setdiff1d(rng.integers(-(2**62), 2**62, size=500, dtype=np.int64), h1)
     cand = to_df(np.concatenate([h1[:100], fresh]))
-    new, maybe = split_by_bloom_table(cand, bloom_df, spec)
+    new, maybe, handle = split_by_bloom_table(cand, bloom_df, spec)
     maybe_hashes = {r["url_hash"] for r in maybe.collect()}
     assert set(int(h) for h in h1[:100]) <= maybe_hashes  # zero false negatives
     assert new.count() > 0  # most fresh hashes pass straight through
+    handle.unpersist()
 
 
 def test_slot_window_skip_not_seal(crawl_run):

@@ -131,7 +131,8 @@ def merge_bloom_tables(a, b):
 
 def split_by_bloom_table(candidates_df, bloom_df, spec: BloomSpec):
     """candidates(url_hash, bucket, ...) ⋈ blooms(bucket, bitmap) ->
-    (definitely_new, maybe_seen).
+    (definitely_new, maybe_seen, cache_handle) — callers unpersist the
+    handle after the round's terminal actions.
 
     Bucket-cogrouped delivery: each task receives ONE bucket's candidate
     rows together with that bucket's bitmap only — never the whole bloom
@@ -161,7 +162,9 @@ def split_by_bloom_table(candidates_df, bloom_df, spec: BloomSpec):
         candidates_df.groupBy("bucket")
         .cogroup(bloom_df.groupBy("bucket"))
         .applyInPandas(flag, schema=schema)
+        .cache()  # both split branches read it — without the cache the
+        #           cogrouped Python stage would execute twice
     )
     new = flagged.filter(~flagged.maybe_seen).select(*cols)
     maybe = flagged.filter(flagged.maybe_seen).select(*cols)
-    return new, maybe
+    return new, maybe, flagged

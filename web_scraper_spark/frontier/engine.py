@@ -218,12 +218,13 @@ class CrawlEngine:
             bloom_df = self.state.read_blooms(k - 1)
             if bloom_df is None:
                 bloom_df = bucket_bloom_df(seen, self.bloom_spec)
-            definitely_new, maybe = split_by_bloom_table(
+            definitely_new, maybe, bloom_handle = split_by_bloom_table(
                 frontier, bloom_df, self.bloom_spec
             )
             maybe_clean = maybe.join(seen, on=["bucket", "url_hash"], how="left_anti")
             candidates = definitely_new.unionByName(maybe_clean)
         else:
+            bloom_handle = None
             candidates = frontier.join(seen, on=["bucket", "url_hash"], how="left_anti")
 
         candidates = robots_filter(candidates, self.robots).cache()
@@ -304,6 +305,10 @@ class CrawlEngine:
                 "status", "keyword", "time_str", "title", "content",
                 "publish_ts", "fetch_slot_s",
             )
+            # the log plan feeds two committed datasets (fetch_log, and
+            # seen_delta via the sealed filter) — cache so the join chain
+            # executes once per round
+            .cache()
         )
 
         # F3 skip-but-don't-seal: only successful in-window articles and
@@ -318,29 +323,19 @@ class CrawlEngine:
 
         frontier_next = self._next_frontier(k, candidates, ordered, missing, parsed, as_of_date)
 
-        # One aggregation job for the status split; every other count comes
-        # free from the committed files' per-partition lineage (the commit
-        # already scans what it wrote) or the previous round's manifest —
-        # never a separate count() action per metric.
-        status_counts = {
-            r["status"]: r["count"]
-            for r in log.groupBy("status").count().collect()
-        }
-        n_log = sum(status_counts.values())
-        n_crawled = status_counts.get("crawled", 0)
+        # Zero metric-only executions of the round plan: the committer
+        # derives status counts from the WRITTEN fetch_log (a scan of the
+        # small committed file), row counts come free from parquet footers
+        # (lineage), and frontier_in comes from the previous manifest.
         try:
             n_frontier = sum(self.state.manifest(k - 1)["lineage"]["frontier"])
         except (FileNotFoundError, KeyError):
             n_frontier = 0
-        metrics = {
-            "frontier_in": n_frontier,
-            "selected": n_log,
-            "fetched": n_log,
-            "crawled": n_crawled,
-            "skipped_out_of_window": status_counts.get("skipped_out_of_window", 0),
-            "fetch_failed": status_counts.get("fetch_failed", 0),
-        }
-        man = self.state.commit_round(k, frontier_next, seen_delta, log, metrics)
+        man = self.state.commit_round(
+            k, frontier_next, seen_delta, log, {"frontier_in": n_frontier}
+        )
+        metrics = {k_: v for k_, v in man["metrics"].items() if k_ != "status_counts"}
+        n_log = metrics["fetched"]
         n_next = sum(man["lineage"]["frontier"])
         wall = _time.monotonic() - t0
         metrics.update(
@@ -353,6 +348,9 @@ class CrawlEngine:
         rank_handle.unpersist()
         fetched.unpersist()
         parsed.unpersist()
+        log.unpersist()
+        if bloom_handle is not None:
+            bloom_handle.unpersist()
         return RoundResult(k, metrics), n_log, n_next
 
 

@@ -210,6 +210,25 @@ class CrawlState:
         lineage["seen_delta"] = _partition_counts(os.path.join(rd, "seen_delta"))
         fetch_log.write.mode("overwrite").parquet(os.path.join(rd, "fetch_log"))
         lineage["fetch_log"] = _partition_counts(os.path.join(rd, "fetch_log"))
+        # per-status metrics from the WRITTEN log — a scan of the small
+        # committed file, not a second execution of the round's join chain
+        sc = {
+            r["status"]: r["count"]
+            for r in self.spark.read.schema(FETCH_LOG_SCHEMA)
+            .parquet(os.path.join(rd, "fetch_log"))
+            .groupBy("status")
+            .count()
+            .collect()
+        }
+        metrics = {
+            **metrics,
+            "status_counts": sc,
+            "selected": sum(sc.values()),
+            "fetched": sum(sc.values()),
+            "crawled": sc.get("crawled", 0),
+            "skipped_out_of_window": sc.get("skipped_out_of_window", 0),
+            "fetch_failed": sc.get("fetch_failed", 0),
+        }
         if self.bloom_spec is not None:
             # incremental bloom: bitmaps of THIS round's delta (re-read from
             # what was just written — no upstream recompute) OR-merged into
