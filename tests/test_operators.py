@@ -289,6 +289,40 @@ def test_media_decode_stub(spark):
         decode_media(media, fake=False).collect()
 
 
+def test_media_resize_and_frame_sample_stubs(spark):
+    """resize emits the REAL raster byte shape (w*h*3); frame sampling is
+    the row-expanding mapInPandas shape with deterministic output."""
+    from web_scraper_spark.operators.multimodal import resize_images, sample_frames
+
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(b"img-payload")),
+            (2, "video", bytearray(b"v" * 400)),
+            (3, "video", bytearray(b"w" * 4000)),
+        ],
+        "media_id bigint, kind string, payload binary",
+    )
+    resized = {r["media_id"]: r for r in resize_images(media, 8, 8, fake=True).collect()}
+    assert len(resized) == 3
+    assert all(len(bytes(r["payload"])) == 8 * 8 * 3 for r in resized.values())
+    again = {r["media_id"]: bytes(r["payload"])
+             for r in resize_images(media, 8, 8, fake=True).collect()}
+    assert {k: bytes(v["payload"]) for k, v in resized.items()} == again  # deterministic
+
+    frames = sample_frames(media, fps_divisor=10, max_frames=4, fake=True).collect()
+    by_media: dict[int, list] = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r)
+    assert set(by_media) == {2, 3}  # only video rows expand
+    assert len(by_media[2]) == 2 and len(by_media[3]) == 4  # size-derived counts
+    assert [r["frame_no"] for r in sorted(by_media[3], key=lambda r: r["frame_no"])] == [0, 1, 2, 3]
+    assert all(len(bytes(r["frame"])) == 16 for r in frames)
+    with pytest.raises(Exception, match="NotImplementedError|resize"):
+        resize_images(media, fake=False).collect()
+    with pytest.raises(Exception, match="NotImplementedError|frame"):
+        sample_frames(media, fake=False).collect()
+
+
 def test_lang_id_charset_and_markers(spark):
     from web_scraper_spark.operators.text import cjk_ratio, clean_text, lang_pred, tokens
 

@@ -157,6 +157,85 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
     )
 
 
+def resize_images(
+    media: DataFrame, width: int = 32, height: int = 32, fake: bool = False
+) -> DataFrame:
+    """Image resize stage: (media_id, payload) → (media_id, width, height,
+    payload) with the resized raster as the new payload. Real resize (PIL)
+    is not in this container: fake=True emits a deterministic md5-derived
+    raster of EXACTLY width*height*3 bytes — the real memory/batch shape,
+    which is what the Spark-side plumbing has to be sized for."""
+    out_schema = "media_id bigint, width int, height int, payload binary"
+    n_out = width * height * 3
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            if not fake:
+                raise NotImplementedError(
+                    "image resize requires PIL (not in this container); "
+                    "pass fake=True for the deterministic stub"
+                )
+            ids, payloads = [], []
+            for row in pdf.itertuples(index=False):
+                digest = hashlib.md5(bytes(row.payload)).digest()
+                raster = (digest * (n_out // len(digest) + 1))[:n_out]
+                ids.append(row.media_id)
+                payloads.append(raster)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "width": [width] * len(ids),
+                    "height": [height] * len(ids),
+                    "payload": payloads,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(batches, schema=out_schema)
+
+
+def sample_frames(
+    media: DataFrame, fps_divisor: int = 10, max_frames: int = 4, fake: bool = False
+) -> DataFrame:
+    """Video frame sampling: one input row → N frame rows (media_id,
+    frame_no, ts_s, frame) — the row-expanding mapInPandas shape (a frame
+    extractor cannot be an explode of a native expression because the
+    payload must be decoded to find frame boundaries). Real extraction
+    (ffmpeg) is stubbed: fake=True derives a deterministic frame count
+    from the payload size and md5-derived frame bytes."""
+    out_schema = "media_id bigint, frame_no int, ts_s double, frame binary"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            if not fake:
+                raise NotImplementedError(
+                    "frame sampling requires ffmpeg (not in this container); "
+                    "pass fake=True for the deterministic stub"
+                )
+            ids, nos, tss, frames = [], [], [], []
+            for row in pdf.itertuples(index=False):
+                payload = bytes(row.payload)
+                n = min(max_frames, max(1, len(payload) // (fps_divisor * 16)))
+                for i in range(n):
+                    ids.append(row.media_id)
+                    nos.append(i)
+                    tss.append(round(i * float(fps_divisor), 3))
+                    frames.append(hashlib.md5(payload + bytes([i])).digest())
+            if ids:
+                yield pd.DataFrame(
+                    {"media_id": ids, "frame_no": nos, "ts_s": tss, "frame": frames}
+                )
+
+    return (
+        media.filter(F.col("kind") == "video")
+        .select("media_id", "payload")
+        .mapInPandas(batches, schema=out_schema)
+    )
+
+
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """queries() entry: the fake-decode path — per-kind mean feature vector
     (what an embedding-quality monitor would compute post-decode)."""
