@@ -90,6 +90,27 @@ def test_simhash_properties(docs):
     assert pairs[(1, 2)] == 0
 
 
+def test_dec_sum_order_insensitive_cross_engine(spark):
+    """The decimal-exact money-sum contract: identical rounded result for
+    any summation order and in both engines — including values engineered
+    to land a double-sum on a .005 rounding boundary (the r1 penny bug)."""
+    import numpy as np
+
+    from web_scraper_spark.operators.analytics import dec_sum, dec_sum_sql
+
+    rng = np.random.default_rng(99)
+    vals = list(np.round(rng.uniform(0.0, 99999.99, 5000), 4))
+    vals += [0.0025, 0.0025, 0.005, 12345.0049, 0.0001]  # boundary pressure
+    df = spark.createDataFrame([(i, float(v)) for i, v in enumerate(vals)], "i bigint, v double")
+    fwd = df.orderBy("i").coalesce(1).agg(dec_sum(F.col("v")).alias("s")).collect()[0]["s"]
+    rev = df.orderBy(F.col("i").desc()).coalesce(1).agg(dec_sum(F.col("v")).alias("s")).collect()[0]["s"]
+    shuf = df.repartition(16).agg(dec_sum(F.col("v")).alias("s")).collect()[0]["s"]
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    duck = con.execute(f"SELECT {dec_sum_sql('v')} AS s FROM t").fetchone()[0]
+    assert fwd == rev == shuf == duck
+
+
 def test_simhash_arrow_equals_expression(docs):
     """The one-pass Arrow sketch must be bit-identical to the 32-HOF
     expression form (which remains the DuckDB oracle's shape)."""
