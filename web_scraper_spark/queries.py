@@ -731,6 +731,25 @@ def q_lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lda_doc_topics(spark, sf_dir)
 
 
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize stage over the synthetic media table (deterministic
+    fake raster — real decode stubbed per container limits). Rows-only:
+    binary payloads; shape/determinism asserted in tests."""
+    from web_scraper_spark.operators.multimodal import resize_images, synth_media
+
+    out = resize_images(synth_media(spark, sf_dir), width=16, height=16, fake=True)
+    return out.select("media_id", "width", "height", F.length("payload").alias("n_bytes"))
+
+
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling stage (row-expanding mapInPandas; ffmpeg
+    stubbed). Rows-only; per-frame counts/shapes asserted in tests."""
+    from web_scraper_spark.operators.multimodal import sample_frames, synth_media
+
+    out = sample_frames(synth_media(spark, sf_dir), fake=True)
+    return out.select("media_id", "frame_no", "ts_s", F.length("frame").alias("n_bytes"))
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -806,6 +825,8 @@ def queries() -> dict[str, QueryFn]:
         "sessionize_stream": q_sessionize_stream,
         "crawl_fetch_log": q_crawl_fetch_log,
         "lda_topics": q_lda_topics,
+        "media_resize": q_media_resize,
+        "media_frames": q_media_frames,
     }
 
 
