@@ -79,10 +79,14 @@ def test_with_canon_split_semantics_and_plan(spark):
 
     samples = [
         "HTTP://Example.COM:80/a//b#frag",
-        "https://b.example/p%61th/%7Euser",   # percent branch
+        "https://b.example/p%61th/%7Euser",   # unreserved escapes decode
         "https://c.example/ok",
         None,
         "relative/path",
+        "https://x.example/a%2Fb",            # reserved escape: must NOT decode
+        "https://x.example/50%25off?q=%20x",  # %25/%20 preserved (uppercased)
+        "https://x.example/bad%zz",           # invalid escape passes through
+        "https://x.example/trail%",
     ]
     df = spark.createDataFrame([(s,) for s in samples], "url string")
     out = with_canon(df)
