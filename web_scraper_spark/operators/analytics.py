@@ -46,13 +46,30 @@ def dec_sum_sql(expr: str, scale: int = 2) -> str:
 
 
 def dec_avg(expr, scale: int = 6):
-    """avg via exact decimal sum: both engines divide the SAME double by
-    the same count, so the quotient (and its rounding) is deterministic."""
-    return F.round(F.sum(expr.cast(MONEY_DEC)).cast("double") / F.count(expr), scale)
+    """avg with the division done in DECIMAL, not double: Spark's
+    decimal(38,6)/decimal(20,0) adjusts to a scale-6 quotient rounded
+    HALF_UP — a single exact rounding of the true rational sum/count.
+    (The previous double-quotient version rounded a DOUBLE, where Spark's
+    BigDecimal HALF_UP and DuckDB's scaled-multiply can disagree in the
+    6th decimal on a boundary — same last-digit-flip class dec_sum kills.)"""
+    return F.round(F.sum(expr.cast(MONEY_DEC)) / F.count(expr), scale).cast("double")
 
 
 def dec_avg_sql(expr: str, scale: int = 6) -> str:
-    return f"round(sum(CAST({expr} AS DECIMAL(18,6)))::DOUBLE / count({expr}), {scale})"
+    """DuckDB twin. DuckDB's ``/`` on decimals returns DOUBLE, so exact
+    HALF_UP decimal division is emulated in integers: numerator N =
+    sum of per-row scale-6 unscaled values (HUGEINT-exact), denominator
+    D = count * 10^(6-scale); HALF_UP(|N|/D) = (2|N| + D) // (2D), sign
+    restored, then rebuilt as a DECIMAL at the target scale and cast to
+    double — bit-identical to the Spark twin's decimal quotient."""
+    assert 0 <= scale <= 6
+    pow10 = 10 ** (6 - scale)
+    unit = f"CAST({10 ** -scale:.{scale}f} AS DECIMAL({scale + 1},{scale}))" if scale else "1"
+    n = f"sum(CAST(CAST({expr} AS DECIMAL(18,6)) * 1000000 AS BIGINT))"
+    d = f"(count({expr}) * {pow10})"
+    q = f"((2 * abs({n}) + {d}) // (2 * {d}))"
+    val = f"(CASE WHEN {n} < 0 THEN -{q} ELSE {q} END)"
+    return f"CAST(CAST({val} AS DECIMAL(31,0)) * {unit} AS DOUBLE)"
 
 
 # ---------------------------------------------------------------------------

@@ -26,7 +26,7 @@ Scale notes (the part that matters at 10^9 docs):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from web_scraper_spark.operators.hashing import (
@@ -138,9 +138,12 @@ def jaccard_pairs(shingles: DataFrame, tau: float = 0.4, max_df: int = 1000) -> 
     SQL oracle twin applies the identical cap.
     """
     # the postings frame is referenced four times (set sizes, df counts,
-    # both self-join sides) — cache it or the tokenize+shingle scan reruns
-    # per reference (CLAUDE.md projection-collapse invariant)
-    shingles = shingles.cache()
+    # both self-join sides) — materialize it once or the tokenize+shingle
+    # scan reruns per reference (CLAUDE.md projection-collapse invariant).
+    # localCheckpoint, not cache(): its storage is RDD-scoped and freed by
+    # the ContextCleaner when the returned pairs frame is dropped, instead
+    # of leaking a CacheManager entry per call for the session lifetime.
+    shingles = shingles.localCheckpoint(eager=True)
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     rare = (
         shingles.groupBy("shingle")
@@ -731,21 +734,38 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     cluster_id = min doc_id reachable. The step that turns pairwise
     near-dups into keep/drop decisions (keeper = cluster_id row).
 
-    Driver-orchestrated label propagation: each round every node adopts
-    the min label in its neighborhood; converges in O(graph diameter)
-    rounds (near-dup graphs are shallow — dup clusters are cliques or
-    short chains). Each iteration is one groupBy-min shuffle; the loop
-    stops when an iteration changes nothing (same fixpoint pattern as the
-    crawl rounds). Raises if max_iter rounds pass without convergence
-    (a silent early stop would return wrong cluster_ids on a dup chain
-    with diameter > max_iter)."""
+    Hash-to-min-style propagation: each round a node adopts the min label
+    in its neighborhood AND then pointer-jumps through the previous label
+    table (label(u) <- label(label(u))), which shortcuts chains so rounds
+    grow O(log diameter) rather than O(diameter). The jump joins against
+    the CACHED previous labels, so it adds one cheap hash join, not a
+    recompute of the propagation subtree. The convergence check rides the
+    same job via ``Observation`` (max of a per-row changed flag) instead
+    of a second count action — exactly one Spark job per iteration.
+
+    The invariant "label(u) is the id of some node in u's component" holds
+    through both steps (propagation takes mins over neighbor labels; the
+    jump reads label(v) for a v already in the component), and at the
+    fixpoint labels are edge-consistent, hence constant per component and
+    equal to the component min. Raises if max_iter rounds pass without
+    convergence (a silent early stop would return wrong cluster_ids).
+
+    Cache discipline: every intermediate label table is unpersisted before
+    return; ``edges`` and the result use ``localCheckpoint(eager=True)``,
+    whose storage is RDD-scoped (freed by the ContextCleaner when the
+    frames are dropped) instead of a session-lifetime CacheManager entry."""
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
             pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
         )
         .distinct()
-        .cache()
+        # eager localCheckpoint, not lazy cache: the first loop job scans
+        # edges three times (neighbor join, label init, jump) and a lazy
+        # cache races itself — the upstream pairs pipeline (LSH banding +
+        # verify) would execute up to 3x inside iteration 1. Materialize
+        # once; storage is RDD-scoped so no unpersist bookkeeping.
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("doc_id"))
@@ -753,39 +773,58 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .withColumn("cluster_id", F.col("doc_id"))
         .cache()
     )
-    for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.doc_id)
-            .groupBy("src")
-            .agg(F.min("cluster_id").alias("nbr_min"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
-                ).alias("cluster_id"),
+    try:
+        for it in range(max_iter):
+            obs = Observation()
+            neighbor_min = (
+                edges.join(labels, edges.dst == labels.doc_id)
+                .groupBy("src")
+                .agg(F.min("cluster_id").alias("nbr_min"))
             )
-            .cache()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="doc_id")
-            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
+            stepped = (
+                labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+                .select(
+                    "doc_id",
+                    F.col("cluster_id").alias("old_cid"),
+                    F.least(
+                        F.col("cluster_id"),
+                        F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+                    ).alias("mid_cid"),
+                )
+            )
+            # pointer jump: mid_cid -> labels[mid_cid] (cached lookup). labels
+            # only ever decrease and start at identity, so the jumped value is
+            # <= mid_cid and still inside the component.
+            jump = labels.select(
+                F.col("doc_id").alias("_jid"), F.col("cluster_id").alias("_jcid")
+            )
+            new_labels = (
+                stepped.join(jump, stepped.mid_cid == jump._jid, "left")
+                .select(
+                    "doc_id",
+                    F.coalesce(F.col("_jcid"), F.col("mid_cid")).alias("cluster_id"),
+                    (F.coalesce(F.col("_jcid"), F.col("mid_cid")) != F.col("old_cid"))
+                    .cast("int")
+                    .alias("_changed"),
+                )
+                .observe(obs, F.max("_changed").alias("changed"))
+                .drop("_changed")
+                .cache()
+            )
+            new_labels.count()  # the ONE action per iteration; fires the observation
+            changed = obs.get["changed"]
+            labels.unpersist()
+            labels = new_labels
+            if not changed:
+                break
+        else:
+            raise RuntimeError(
+                f"dedup_clusters did not converge in {max_iter} iterations "
+                "(dup-graph diameter exceeds max_iter — raise max_iter)"
+            )
+        return labels.select("doc_id", "cluster_id").localCheckpoint(eager=True)
+    finally:
         labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError(
-            f"dedup_clusters did not converge in {max_iter} iterations "
-            "(dup-graph diameter exceeds max_iter — raise max_iter)"
-        )
-    return labels.select("doc_id", "cluster_id")
 
 
 def dedup_clusters_sql(pairs_cte: str) -> str:

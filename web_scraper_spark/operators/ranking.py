@@ -34,15 +34,21 @@ def with_global_rank(
     num_partitions: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Attach ``out_col`` = 1-based global rank of each row under
-    ``order_cols`` (must be a total order). Returns (result, handle);
-    callers unpersist ``handle`` after their terminal action."""
+    ``order_cols`` (must be a total order). Returns (result, handle); the
+    handle's storage is RDD-scoped (localCheckpoint) so it is freed by the
+    ContextCleaner when the result frame is dropped — callers may still
+    unpersist it eagerly after their terminal action, but discarding it
+    (as assign_ids does) no longer leaks a session-lifetime cache entry."""
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    # localCheckpoint, not persist(): pins the materialized layout (the
+    # partition-id column must not be recomputed under a different AQE
+    # plan) AND scopes the storage to the returned frames' lifetime.
     ranged = (
         df.repartitionByRange(num_partitions, *order_cols)
         .withColumn("_gr_pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
     # one row per partition — metadata-scale, like AQE's own shuffle stats
     counts = ranged.groupBy("_gr_pid").count().collect()
