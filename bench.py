@@ -225,10 +225,57 @@ HEADLINE = [
     "sessionize",
     "relation_extract",
     "relation_extract_full",  # 19-type x ~1,120-phrase vocab through the regex tier
+    "ner_entities",           # P2 with the in-repo perceptron model tagger
     "assign_ids",             # two-phase global rank (no single-partition window)
     "stream_slot_window",
     "media_features",
 ]
+
+
+def caps_report(spark, sf_dir: str, max_bucket: int = 64, max_df: int = 1000) -> dict:
+    """No-silent-caps accounting: how much the dedup tiers' safety caps
+    actually dropped at this SF. A bench that bounds coverage (hot LSH
+    buckets, stop-shingle postings) must SAY what it dropped — zero here
+    means the caps exist but did not engage on this corpus."""
+    from pyspark.sql import functions as F
+
+    from web_scraper_spark.operators import dedup as dd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sk = dd.sketch_docs(docs).localCheckpoint(eager=True)
+    rows = dd.N_MINHASH // dd.N_BANDS
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",", *[F.element_at("mins", b * rows + r + 1) for r in range(rows)]
+                )
+            ).alias("bkey"),
+        )
+        for b in range(dd.N_BANDS)
+    ]
+    bsizes = (
+        sk.select(F.explode(F.array(*band_structs)).alias("x"))
+        .select("x.band", "x.bkey")
+        .groupBy("band", "bkey")
+        .count()
+    )
+    hot = bsizes.where(F.col("count") > max_bucket).agg(
+        F.count("*").alias("n"), F.sum("count").alias("rows")
+    ).collect()[0]
+    postings = sk.select(F.explode("shset").alias("sh")).groupBy("sh").count()
+    hot_p = postings.where(F.col("count") > max_df).agg(
+        F.count("*").alias("n"), F.sum("count").alias("rows")
+    ).collect()[0]
+    return {
+        "max_bucket": max_bucket,
+        "lsh_buckets_over_cap": int(hot["n"] or 0),
+        "lsh_rows_in_capped_buckets": int(hot["rows"] or 0),
+        "max_df": max_df,
+        "postings_over_max_df": int(hot_p["n"] or 0),
+        "posting_rows_dropped": int(hot_p["rows"] or 0),
+    }
 
 
 def bench_queries(spark, sf_dir: str) -> dict[str, float]:
@@ -254,6 +301,7 @@ def run_default() -> dict:
     spark = _get_spark(cpus)
     spark.range(1000).count()  # JVM warmup
     timings = bench_queries(spark, sf_dir)
+    caps = caps_report(spark, sf_dir)
     frontier = bench_frontier(spark)
     parse = bench_parse(spark)
     crawl = bench_crawl(spark)
@@ -267,6 +315,7 @@ def run_default() -> dict:
         "frontier": frontier,
         "parse_stage": parse,
         "crawl_end_to_end": crawl,
+        "caps": caps,
         "cpus": cpus,
     }
 

@@ -126,20 +126,28 @@ def test_resume_reproduces_final_state(spark, site_cfg, crawl_run):
         e2 = CrawlEngine(spark, pages, robots, sd2, CRAWL)
         e2.run(seeds=seed_urls(site_cfg))
         full_log = [
-            (r["round"], r["url_canon"], r["status"])
+            (r["round"], r["fetch_pos"], r["url_canon"], r["status"])
             for r in e2.state.read_fetch_log().orderBy("round", "fetch_pos").collect()
         ]
         e2.state.drop_rounds_after(2)
         assert e2.state.last_committed_round() == 2
         e3 = CrawlEngine(spark, pages, robots, sd2, CRAWL)
+        # resume must derive its fetch_pos offset from manifest lineage
+        # alone — never a scan of the committed fetch logs (at the 10^10
+        # design point that is a full multi-round parquet re-read)
+        def _no_log_scan(*a, **k):
+            raise AssertionError("resume scanned the fetch log (use manifests)")
+
+        e3.state.read_fetch_log = _no_log_scan
         e3.run(resume=True)
+        del e3.state.read_fetch_log
         resumed_log = [
-            (r["round"], r["url_canon"], r["status"])
+            (r["round"], r["fetch_pos"], r["url_canon"], r["status"])
             for r in e3.state.read_fetch_log().orderBy("round", "fetch_pos").collect()
         ]
-        assert resumed_log == full_log
+        assert resumed_log == full_log  # incl. fetch_pos: offset exact
         # no double fetch of sealed URLs
-        crawled = [u for _, u, s in resumed_log if s == "crawled"]
+        crawled = [u for _, _, u, s in resumed_log if s == "crawled"]
         assert len(crawled) == len(set(crawled))
     finally:
         shutil.rmtree(sd2, ignore_errors=True)
@@ -287,3 +295,165 @@ def test_slot_window_skip_not_seal(crawl_run):
     assert skipped  # config chosen so some articles fall outside the slot
     seen = {r["url_canon"] for r in eng.state.read_seen(999).collect()}
     assert not (skipped & seen)
+
+
+def test_concurrent_commit_second_writer_raises(spark):
+    """Two committers racing one round (Iceberg commit-conflict analogue):
+    the second raises and the first's committed state is untouched."""
+    import os
+
+    from web_scraper_spark.frontier.engine import seed_frontier
+    from web_scraper_spark.frontier.state import (
+        ConcurrentCommitError,
+        CrawlState,
+        FETCH_LOG_SCHEMA,
+    )
+
+    sd = tempfile.mkdtemp(prefix="commitrace_")
+    try:
+        cfg = CrawlConfig()
+        fr = seed_frontier(spark, ["https://alpha.example"], cfg)
+        empty_seen = spark.createDataFrame(
+            [], "url_hash long, bucket int, url_canon string, round int"
+        )
+        empty_log = spark.createDataFrame([], FETCH_LOG_SCHEMA)
+        s1 = CrawlState(spark, sd)
+        s2 = CrawlState(spark, sd)
+        man = s1.commit_round(0, fr, empty_seen, empty_log, {"w": 1})
+        # committed round: the loser fails fast on the manifest CAS
+        with pytest.raises(ConcurrentCommitError):
+            s2.commit_round(0, fr, empty_seen, empty_log, {"w": 2})
+        assert s1.manifest(0)["metrics"]["w"] == 1  # winner's state intact
+        assert sum(s1.manifest(0)["lineage"]["frontier"]) == sum(
+            man["lineage"]["frontier"]
+        )
+        # in-flight round (lock held, no manifest yet): loser fails on the
+        # lease BEFORE writing any data files
+        rd1 = s1._round_dir(1)
+        os.makedirs(rd1, exist_ok=True)
+        lock = os.path.join(rd1, ".commit-lock")
+        with open(lock, "w") as f:
+            f.write("424242")
+        with pytest.raises(ConcurrentCommitError):
+            s2.commit_round(1, fr, empty_seen, empty_log, {})
+        assert not os.path.exists(os.path.join(rd1, "manifest.json"))
+        # stale lease (crashed committer): stolen, commit proceeds
+        old = __import__("time").time() - 2 * CrawlState.LOCK_LEASE_S
+        os.utime(lock, (old, old))
+        s2.commit_round(1, fr, empty_seen, empty_log, {"w": 2})
+        assert s2.manifest(1)["metrics"]["w"] == 2
+    finally:
+        shutil.rmtree(sd, ignore_errors=True)
+
+
+def test_default_compaction_keeps_seen_read_short(spark):
+    """compact_every defaults ON; after compaction the seen read touches
+    base + short delta tail, not one delta path per round (LSM contract)."""
+    assert CrawlConfig().compact_every > 0  # the default is on
+    site = SiteConfig(n_categories=3, articles_per_category=6)
+    pages = build_pages_df(spark, site).cache()
+    robots = build_robots_df(spark, site)
+    cfg = CrawlConfig(
+        as_of="2025-12-01T22:30:00", round_seconds=30.0, max_rounds=5, compact_every=2
+    )
+    sd = tempfile.mkdtemp(prefix="lsm_")
+    try:
+        eng = CrawlEngine(spark, pages, robots, sd, cfg)
+        results = eng.run(seeds=seed_urls(site))
+        last = eng.state.last_committed_round()
+        assert last >= 4
+        # base + at most (cadence) trailing deltas — NOT `last` paths
+        paths = eng.state.seen_paths(last)
+        assert len(paths) <= 1 + cfg.compact_every
+        assert any("seen_compact=" in p for p in paths)
+    finally:
+        shutil.rmtree(sd, ignore_errors=True)
+        pages.unpersist()
+
+
+def test_politeness_continuity_across_short_rounds(spark):
+    """round_seconds shorter than some crawl_delays: the per-host schedule
+    phase must carry across round boundaries — consecutive fetch times
+    (round start + fetch_slot_s) never closer than crawl_delay, and a host
+    with crawl_delay > round_seconds is throttled, not starved (ST5)."""
+    R = 5.0
+    delays = {"alpha": 7.0, "beta": 0.5, "gamma": 2.0}
+    site = SiteConfig(n_categories=2, articles_per_category=4, crawl_delay=delays)
+    cfg = CrawlConfig(as_of="2025-12-01T22:30:00", round_seconds=R, max_rounds=10)
+    pages = build_pages_df(spark, site).cache()
+    sd = tempfile.mkdtemp(prefix="cont_")
+    try:
+        eng = CrawlEngine(spark, pages, build_robots_df(spark, site), sd, cfg)
+        eng.run(seeds=seed_urls(site))
+        log = eng.state.read_fetch_log().orderBy("round", "fetch_pos").collect()
+        # engine == simulator under the carry (both implement it)
+        sim = simulate_crawl(site, cfg, seed_urls(site))
+        assert [(r["round"], r["url_canon"], r["status"]) for r in log] == [
+            (r["round"], r["url_canon"], r["status"]) for r in sim.fetch_log
+        ]
+        # absolute schedule: round k occupies [(k-1)*R, k*R)
+        by_host = {}
+        for r in log:
+            by_host.setdefault(r["host"], []).append(
+                (r["round"] - 1) * R + r["fetch_slot_s"]
+            )
+        budgets = {
+            base.split("//")[1]: delays[src] for src, base in site.hosts.items()
+        }
+        for host, times in by_host.items():
+            d = budgets[host]
+            for a, b in zip(times, times[1:]):
+                assert b - a >= d - 1e-9, (host, a, b, d)
+        # the d=7 > R=5 host is fetched (no starvation), at exactly 1/7 Hz
+        slow = [h for h, d in budgets.items() if d > R]
+        assert slow and all(len(by_host.get(h, [])) >= 2 for h in slow)
+    finally:
+        shutil.rmtree(sd, ignore_errors=True)
+        pages.unpersist()
+
+
+def test_bloom_enabled_mid_crawl_no_recrawl(spark):
+    """Enabling the Bloom pre-filter on an existing bloom-less state dir
+    must rebuild the bitmap table from the FULL seen set at the first
+    bloom commit — a delta-only table would mark rounds-1..k URLs
+    'definitely new' and re-crawl them in every later round."""
+    site = SiteConfig(n_categories=3, articles_per_category=6)
+    pages = build_pages_df(spark, site).cache()
+    robots = build_robots_df(spark, site)
+    base_cfg = dict(as_of="2025-12-01T22:30:00", round_seconds=30.0)
+    d_ref, d_mid = tempfile.mkdtemp(prefix="bref_"), tempfile.mkdtemp(prefix="bmid_")
+    try:
+        # reference: bloom on from the start, uninterrupted
+        ref = CrawlEngine(
+            spark, pages, robots, d_ref,
+            CrawlConfig(**base_cfg, max_rounds=8, use_bloom=True),
+        )
+        ref.run(seeds=seed_urls(site))
+        ref_log = [
+            (r["round"], r["url_canon"], r["status"])
+            for r in ref.state.read_fetch_log().orderBy("round", "fetch_pos").collect()
+        ]
+        # phase 1: no bloom for 2 rounds; phase 2: bloom enabled on resume
+        e1 = CrawlEngine(
+            spark, pages, robots, d_mid,
+            CrawlConfig(**base_cfg, max_rounds=2, use_bloom=False),
+        )
+        e1.run(seeds=seed_urls(site))
+        e2 = CrawlEngine(
+            spark, pages, robots, d_mid,
+            CrawlConfig(**base_cfg, max_rounds=8, use_bloom=True),
+        )
+        e2.run(resume=True)
+        mid_log = [
+            (r["round"], r["url_canon"], r["status"])
+            for r in e2.state.read_fetch_log().orderBy("round", "fetch_pos").collect()
+        ]
+        assert mid_log == ref_log
+        crawled = [u for _, u, s in mid_log if s == "crawled"]
+        assert len(crawled) == len(set(crawled))  # nothing re-crawled
+        # and later rounds really have a committed bloom table to read
+        assert e2.state.read_blooms(e2.state.last_committed_round()) is not None
+    finally:
+        shutil.rmtree(d_ref, ignore_errors=True)
+        shutil.rmtree(d_mid, ignore_errors=True)
+        pages.unpersist()

@@ -28,6 +28,7 @@ both the ordered fetch log and the final URL-seen set.
 
 from __future__ import annotations
 
+import os
 import time as _time
 from dataclasses import dataclass, field
 from datetime import datetime, timedelta
@@ -63,8 +64,9 @@ class CrawlConfig:
     sources_by_pos: tuple = ("alpha", "beta", "gamma")  # seed-list order
     # auto-compaction cadence for the seen table's LSM tail: every K
     # committed rounds, fold base+deltas into one bucketed base (0 = off).
-    # Without it the union-of-deltas read grows linearly with rounds.
-    compact_every: int = 0
+    # ON by default — without it the union-of-deltas read grows linearly
+    # with rounds, a silent unbounded cost in any long-running crawl.
+    compact_every: int = 8
     # F4 — alpha URL-slug date window: "as_of" keeps slug date == as_of
     # (TuoiTre shape); "yesterday" keeps slug date == as_of - 1 day (the
     # VnNet variant, CrawlPaperVnNet.py:129-141: crawl yesterday's
@@ -167,7 +169,18 @@ class CrawlEngine:
     # ------------------------------------------------------------------
 
     def init(self, seeds: list[str]) -> None:
-        """Commit round 0: seed frontier, empty seen/log."""
+        """Commit round 0: seed frontier, empty seen/log.
+
+        Fresh-crawl semantics: any previous snapshots in the state dir are
+        dropped first — re-seeding means "start over", and the committer's
+        concurrent-writer CAS must not mistake a restart for a commit race
+        (two engines racing a FRESH start on one dir still conflict: both
+        clear, then exactly one wins the round-0 manifest link)."""
+        import shutil
+
+        for name in list(os.listdir(self.state.dir)):
+            if name.startswith(("round=", "seen_compact=")):
+                shutil.rmtree(os.path.join(self.state.dir, name), ignore_errors=True)
         empty_seen = self.spark.createDataFrame([], "url_hash long, bucket int, url_canon string, round int")
         empty_log = self.spark.createDataFrame([], FETCH_LOG_SCHEMA)
         fr = seed_frontier(self.spark, seeds, self.cfg)
@@ -194,8 +207,18 @@ class CrawlEngine:
         return results
 
     def _fetch_offset(self, upto: int) -> int:
-        log = self.state.read_fetch_log(upto)
-        return log.count()
+        """Total fetch_log rows committed through round ``upto``, summed
+        from the manifests' lineage (exact per-file counts recorded at
+        commit time) — NOT a scan of the logs themselves: at the 10^10-row
+        design point re-counting the full multi-round log on every resume
+        is a full parquet scan for a number the metadata already holds."""
+        total = 0
+        for i in range(upto + 1):
+            try:
+                total += sum(self.state.manifest(i)["lineage"]["fetch_log"])
+            except (FileNotFoundError, KeyError):
+                pass
+        return total
 
     # ------------------------------------------------------------------
 
@@ -228,8 +251,14 @@ class CrawlEngine:
             candidates = frontier.join(seen, on=["bucket", "url_hash"], how="left_anti")
 
         candidates = robots_filter(candidates, self.robots).cache()
+        # cross-round politeness continuity: the per-host schedule phase
+        # committed with round k-1 seeds this round's budgets/slots, so
+        # back-to-back short rounds can't exceed a host's rate at the
+        # boundary (ST5; absent for round 1 / pre-continuity state dirs)
+        host_state = self.state.read_host_state(k - 1)
         selected = select_round(
-            candidates, self.robots, cfg.round_seconds, cfg.default_crawl_delay, cfg.salt
+            candidates, self.robots, cfg.round_seconds, cfg.default_crawl_delay,
+            cfg.salt, host_state=host_state,
         ).cache()
 
         # canonical crawl order within the round → global fetch_pos.
@@ -331,8 +360,13 @@ class CrawlEngine:
             n_frontier = sum(self.state.manifest(k - 1)["lineage"]["frontier"])
         except (FileNotFoundError, KeyError):
             n_frontier = 0
+        from web_scraper_spark.frontier.politeness import next_host_state
+
         man = self.state.commit_round(
-            k, frontier_next, seen_delta, log, {"frontier_in": n_frontier}
+            k, frontier_next, seen_delta, log, {"frontier_in": n_frontier},
+            host_state=next_host_state(
+                log, host_state, self.robots, cfg.round_seconds, cfg.default_crawl_delay
+            ),
         )
         metrics = {k_: v for k_, v in man["metrics"].items() if k_ != "status_counts"}
         n_log = metrics["fetched"]

@@ -18,6 +18,7 @@ same shared extraction functions, so tests can assert:
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass, field
 from datetime import datetime
 
@@ -90,6 +91,7 @@ def simulate_crawl(
 
     res = SimResult()
     fetch_pos = 0
+    host_nf: dict[str, float] = {}  # per-host schedule debt (ST5 continuity)
     for k in range(1, crawl_cfg.max_rounds + 1):
         # dedup gate (F1) + robots
         candidates = {}
@@ -103,18 +105,45 @@ def simulate_crawl(
                 continue
             candidates[canon] = e
 
-        # per-host politeness budget, canonical priority order (ST5)
+        # per-host politeness budget, canonical priority order (ST5).
+        # Cross-round continuity mirrors politeness.select_round: host_nf
+        # carries each host's schedule phase over the boundary — budget =
+        # ceil((R - next_free)/delay) slots fitting inside the window.
         by_host: dict[str, list[str]] = {}
         for canon, e in sorted(candidates.items(), key=lambda kv: kv[1].priority_key(kv[0])):
             by_host.setdefault(host_py(canon), []).append(canon)
         selected = []
+        sel_per_host: dict[str, int] = {}
         for host, canons in by_host.items():
             delay, _ = robots.get(host, (crawl_cfg.default_crawl_delay, ()))
-            budget = int(crawl_cfg.round_seconds // delay)
+            nf = host_nf.get(host, 0.0)
+            budget = (
+                math.ceil((crawl_cfg.round_seconds - nf) / delay)
+                if nf < crawl_cfg.round_seconds
+                else 0
+            )
             selected.extend(canons[:budget])
+            sel_per_host[host] = min(budget, len(canons))
         selected.sort(key=lambda c: candidates[c].priority_key(c))
+        # debt update — politeness.next_host_state, verbatim: hosts not
+        # fetched this round decay by the window; zero-debt hosts drop out
+        nxt_nf: dict[str, float] = {}
+        for host in set(host_nf) | set(sel_per_host):
+            delay, _ = robots.get(host, (crawl_cfg.default_crawl_delay, ()))
+            nf = (
+                host_nf.get(host, 0.0)
+                + sel_per_host.get(host, 0) * delay
+                - crawl_cfg.round_seconds
+            )
+            if nf > 0:
+                nxt_nf[host] = nf
+        host_nf = nxt_nf
 
-        if not selected:
+        if not selected and not candidates:
+            # frontier truly exhausted — a budget-starved round (candidates
+            # exist but every host is in schedule debt) instead falls
+            # through as an EMPTY round, exactly like the engine, which
+            # only stops when frontier_next is empty
             res.rounds = k - 1
             return res
 

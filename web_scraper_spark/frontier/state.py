@@ -26,9 +26,15 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+import time as _time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Two committers raced on the same round (Iceberg's commit-conflict
+    analogue): the loser must not touch the winner's committed files."""
 
 FRONTIER_SCHEMA = (
     "url string, url_canon string, url_hash long, bucket int, host string, "
@@ -110,24 +116,30 @@ class CrawlState:
             os.path.join(self._round_dir(k), "frontier")
         )
 
-    def read_seen(self, upto_round: int) -> DataFrame:
-        """The seen table at round `upto_round`: compacted base (if any)
-        plus the delta tail — the classic LSM read. Without periodic
-        compaction the union-of-deltas read grows linearly with rounds;
-        ``compact_seen`` folds deltas into one bucketed base."""
+    def seen_paths(self, upto_round: int) -> list[str]:
+        """The parquet paths a seen read at ``upto_round`` touches:
+        compacted base (if any) + the delta tail. Exposed so tests can
+        assert the LSM read stays base+short-tail under auto-compaction."""
         base_round, base_path = self._latest_compaction(upto_round)
         paths = [
             os.path.join(self._round_dir(i), "seen_delta")
             for i in range(base_round + 1, upto_round + 1)
             if os.path.exists(os.path.join(self._round_dir(i), "seen_delta"))
         ]
+        return ([base_path] if base_path else []) + paths
+
+    def read_seen(self, upto_round: int) -> DataFrame:
+        """The seen table at round `upto_round`: compacted base (if any)
+        plus the delta tail — the classic LSM read. Without periodic
+        compaction the union-of-deltas read grows linearly with rounds;
+        ``compact_seen`` folds deltas into one bucketed base."""
         from functools import reduce
 
         dfs = [
             self.spark.read.schema(SEEN_SCHEMA).parquet(p).select(
                 "url_hash", "bucket", "url_canon", "round"
             )
-            for p in ([base_path] if base_path else []) + paths
+            for p in self.seen_paths(upto_round)
         ]
         if not dfs:
             return self.spark.createDataFrame([], SEEN_SCHEMA)
@@ -173,6 +185,18 @@ class CrawlState:
             return None
         return self.spark.read.schema(BLOOM_TABLE_SCHEMA).parquet(p)
 
+    HOST_STATE_SCHEMA = "host string, next_free_s double"
+
+    def read_host_state(self, k: int) -> DataFrame | None:
+        """Per-host politeness carry state committed with round k
+        (host, next_free_s = seconds into the NEXT round before the host
+        may fetch again), or None when absent (pre-continuity state dirs,
+        or a round where every host's carry decayed to zero)."""
+        p = os.path.join(self._round_dir(k), "host_state")
+        if not os.path.isdir(p):
+            return None
+        return self.spark.read.schema(self.HOST_STATE_SCHEMA).parquet(p)
+
     def read_fetch_log(self, upto_round: int | None = None) -> DataFrame:
         upto = self.last_committed_round() if upto_round is None else upto_round
         paths = [
@@ -186,6 +210,41 @@ class CrawlState:
 
     # -- committer -----------------------------------------------------------
 
+    # a committer holding the round lock longer than this with no manifest
+    # is presumed dead (crashed mid-commit); the next committer steals it
+    LOCK_LEASE_S = 3600.0
+
+    def _acquire_commit_lock(self, k: int) -> str:
+        """O_EXCL lease file guarding the round's data writes: the second
+        of two concurrent committers fails HERE, before it can clobber the
+        first one's files (the manifest link below is the second, airtight
+        gate). A stale lock (crash mid-commit: lock present, no manifest,
+        older than LOCK_LEASE_S) is stolen once."""
+        rd = self._round_dir(k)
+        lock = os.path.join(rd, ".commit-lock")
+        for attempt in (0, 1):
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                return lock
+            except FileExistsError:
+                try:
+                    age = _time.time() - os.path.getmtime(lock)
+                except FileNotFoundError:
+                    continue  # holder just released/stole — retry once
+                if attempt == 0 and age > self.LOCK_LEASE_S:
+                    try:
+                        os.unlink(lock)  # steal the stale lease
+                    except FileNotFoundError:
+                        pass
+                    continue
+                raise ConcurrentCommitError(
+                    f"round {k} is being committed by another writer "
+                    f"(lock {lock}, age {age:.0f}s)"
+                )
+        raise ConcurrentCommitError(f"round {k}: could not acquire commit lock")
+
     def commit_round(
         self,
         k: int,
@@ -193,9 +252,26 @@ class CrawlState:
         seen_delta: DataFrame,
         fetch_log: DataFrame,
         metrics: dict,
+        host_state: DataFrame | None = None,
     ) -> dict:
         rd = self._round_dir(k)
         os.makedirs(rd, exist_ok=True)
+        if os.path.exists(os.path.join(rd, "manifest.json")):
+            raise ConcurrentCommitError(f"round {k} already committed")
+        lock = self._acquire_commit_lock(k)
+        try:
+            return self._commit_round_locked(
+                k, rd, frontier_next, seen_delta, fetch_log, metrics, host_state
+            )
+        finally:
+            try:
+                os.unlink(lock)
+            except FileNotFoundError:
+                pass
+
+    def _commit_round_locked(
+        self, k, rd, frontier_next, seen_delta, fetch_log, metrics, host_state
+    ) -> dict:
         lineage = {}
         # frontier sorted by the canonical priority key within partitions →
         # the parquet files are priority-ordered (Iceberg sort-order analogue,
@@ -238,20 +314,49 @@ class CrawlState:
                 merge_bloom_tables,
             )
 
-            delta = bucket_bloom_df(
-                self.spark.read.schema(SEEN_SCHEMA).parquet(
-                    os.path.join(rd, "seen_delta")
-                ),
-                self.bloom_spec,
-            )
             prev = self.read_blooms(k - 1)
-            merged = delta if prev is None else merge_bloom_tables(prev, delta)
+            if prev is not None:
+                delta = bucket_bloom_df(
+                    self.spark.read.schema(SEEN_SCHEMA).parquet(
+                        os.path.join(rd, "seen_delta")
+                    ),
+                    self.bloom_spec,
+                )
+                merged = merge_bloom_tables(prev, delta)
+            elif k > 1:
+                # resuming a pre-bloom state dir (or bloom enabled
+                # mid-crawl): a delta-only bitmap would poison every later
+                # round — URLs sealed in rounds 1..k-1 would test
+                # "definitely new", skip the exact anti-join, and be
+                # re-crawled. Rebuild ONCE from the full seen set (which
+                # includes this round's just-written delta); later rounds
+                # resume the cheap incremental OR-merge from here.
+                merged = bucket_bloom_df(self.read_seen(k), self.bloom_spec)
+            else:
+                merged = bucket_bloom_df(
+                    self.spark.read.schema(SEEN_SCHEMA).parquet(
+                        os.path.join(rd, "seen_delta")
+                    ),
+                    self.bloom_spec,
+                )
             merged.write.mode("overwrite").parquet(os.path.join(rd, "bloom"))
+        if host_state is not None:
+            host_state.write.mode("overwrite").parquet(
+                os.path.join(rd, "host_state")
+            )
         man = {"round": k, "lineage": lineage, "metrics": metrics}
         fd, tmp = tempfile.mkstemp(dir=rd, prefix=".manifest-")
         with os.fdopen(fd, "w") as f:
             json.dump(man, f, indent=1)
-        os.replace(tmp, os.path.join(rd, "manifest.json"))  # atomic commit point
+        # commit point: hard-link CAS — unlike rename, link() FAILS if the
+        # manifest already exists, so of two racing committers exactly one
+        # wins and the loser raises instead of silently overwriting
+        try:
+            os.link(tmp, os.path.join(rd, "manifest.json"))
+        except FileExistsError:
+            raise ConcurrentCommitError(f"round {k}: lost commit race")
+        finally:
+            os.unlink(tmp)
         return man
 
     def drop_rounds_after(self, k: int) -> None:

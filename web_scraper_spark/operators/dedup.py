@@ -56,9 +56,20 @@ def _fan_out(df: DataFrame) -> DataFrame:
     input partitions: a small-SF table is often ONE parquet file, which
     would serialize the whole Python stage through a single task (measured
     10 s single-threaded vs <1 s fanned at sf0.1). At production scale the
-    scan already has many partitions and this is a no-op."""
+    scan already has many partitions and this is a no-op.
+
+    The probe is METADATA-ONLY: ``inputFiles()`` (catalog file listing)
+    vs defaultParallelism — the previous ``df.rdd.getNumPartitions()``
+    paid a full plan→RDD translation on every call (VERDICT r2). Frames
+    that aren't file scans (in-memory test frames) report no files and
+    conservatively fan out; a shuffled upstream already has
+    shuffle.partitions ≥ parallelism partitions downstream anyway."""
     par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files < par:
         return df.repartition(par)
     return df
 

@@ -12,10 +12,14 @@ extends the same pattern to media payloads. Design (all real and tested):
   (``spark.sql.execution.arrow.maxRecordsPerBatch`` caps peak bytes per
   task at scale, the same lever the crawl parse stage uses).
 
-The actual pixel/sample decode is STUBBED (no image/audio libs in this
-container): ``decode_media`` raises NotImplementedError unless
-``fake=True``, in which case it emits a deterministic md5-derived feature
-vector with the exact schema/batch shape the real decoder would produce.
+PNG decode is REAL (operators/pngcodec.py — stdlib zlib + filter
+reconstruction): with ``fake=False``, ``decode_media`` and
+``resize_images`` decode actual PNG pixels end-to-end, so one format
+exercises the full fetch-bytes → decode → derive shape with real rasters.
+jpeg/audio/video decode stays STUBBED (no PIL/ffmpeg in this container):
+on those payloads fake=False raises NotImplementedError, and fake=True
+emits a deterministic md5-derived stand-in with the exact schema/batch
+shape the real decoder would produce.
 """
 
 from __future__ import annotations
@@ -64,6 +68,66 @@ def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("int").alias("height"),
         ).alias("meta"),
     )
+
+
+def synth_png_media(
+    spark: SparkSession, sf_dir: str, max_side: int = 24
+) -> DataFrame:
+    """Media table whose payloads are REAL PNGs: deterministic per-doc
+    gradient rasters (seeded by doc_id, sized by doc_id so decode sees
+    varied dimensions), encoded by pngcodec. This is the input for the
+    fake=False decode/resize path — the pixels that come back out are
+    checkable against the generator's arithmetic."""
+    import pandas as pd
+
+    from web_scraper_spark.operators.pngcodec import png_encode
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def gen(it):
+        import numpy as np
+
+        for pdf in it:
+            ids, payloads, widths, heights = [], [], [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w = 4 + (d * 7) % (max_side - 3)
+                h = 4 + (d * 11) % (max_side - 3)
+                arr = synth_raster(d, w, h)
+                ids.append(d)
+                payloads.append(png_encode(arr))
+                widths.append(w)
+                heights.append(h)
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": payloads, "width": widths, "height": heights}
+            )
+
+    out_schema = "media_id bigint, payload binary, width int, height int"
+    return docs.mapInPandas(gen, schema=out_schema).select(
+        "media_id",
+        F.lit("image").alias("kind"),
+        "payload",
+        F.struct(
+            F.lit("image/png").alias("mime"),
+            F.length("payload").cast("bigint").alias("n_bytes"),
+            F.col("width"),
+            F.col("height"),
+        ).alias("meta"),
+    )
+
+
+def synth_raster(doc_id: int, w: int, h: int):
+    """The deterministic (h, w, 3) uint8 gradient tests recompute."""
+    import numpy as np
+
+    ys = np.arange(h, dtype=np.int64)[:, None]
+    xs = np.arange(w, dtype=np.int64)[None, :]
+    r = (ys * 31 + doc_id) & 0xFF
+    g = (xs * 17 + doc_id * 3) & 0xFF
+    b = (ys * xs + doc_id * 7) & 0xFF
+    return np.stack(
+        [np.broadcast_to(r, (h, w)), np.broadcast_to(g, (h, w)), b], axis=2
+    ).astype("uint8")
 
 
 def sniff_mime(media: DataFrame) -> DataFrame:
@@ -119,10 +183,12 @@ def media_stats_sql() -> str:
 def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
     """Decode/feature-extract stage: mapInPandas over Arrow batches.
 
-    Real decoders (PIL/ffmpeg/librosa) are not in this container — with
-    fake=False the UDF raises NotImplementedError on first batch. With
-    fake=True it emits a deterministic 8-dim md5-derived feature vector,
-    exercising the identical schema, partitioning and batch shape.
+    With fake=False, PNG payloads are REALLY decoded (pngcodec) and the
+    8-dim feature vector is computed from actual pixels: per-channel
+    mean/255 and std/255, then width/4096 and height/4096. Non-PNG
+    payloads raise NotImplementedError (no PIL/ffmpeg/librosa in this
+    container). With fake=True every payload gets a deterministic
+    md5-derived vector — identical schema, partitioning and batch shape.
     """
     out_schema = (
         "media_id bigint, kind string, n_bytes bigint, "
@@ -132,19 +198,31 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
+        from web_scraper_spark.operators.pngcodec import png_decode
+
         for pdf in it:
-            if not fake:
-                raise NotImplementedError(
-                    "media decode requires PIL/ffmpeg/librosa (not in this "
-                    "container); pass fake=True for the deterministic stub"
-                )
             feats, ids, kinds, sizes = [], [], [], []
             for row in pdf.itertuples(index=False):
                 payload = bytes(row.payload)
-                digest = hashlib.md5(payload).digest()
-                feats.append(
-                    [round(digest[i] / 255.0, 6) for i in range(FEATURE_DIM)]
-                )
+                if fake:
+                    digest = hashlib.md5(payload).digest()
+                    fv = [round(digest[i] / 255.0, 6) for i in range(FEATURE_DIM)]
+                elif payload.startswith(b"\x89PNG"):
+                    arr = png_decode(payload).astype("float64")
+                    h, w = arr.shape[:2]
+                    fv = [
+                        *(round(float(arr[:, :, c].mean()) / 255.0, 6) for c in range(3)),
+                        *(round(float(arr[:, :, c].std()) / 255.0, 6) for c in range(3)),
+                        round(w / 4096.0, 6),
+                        round(h / 4096.0, 6),
+                    ]
+                else:
+                    raise NotImplementedError(
+                        "only PNG decode is real in this container (stdlib "
+                        "pngcodec); other formats need PIL/ffmpeg/librosa — "
+                        "pass fake=True for the deterministic stub"
+                    )
+                feats.append(fv)
                 ids.append(row.media_id)
                 kinds.append(row.kind)
                 sizes.append(len(payload))
@@ -161,26 +239,34 @@ def resize_images(
     media: DataFrame, width: int = 32, height: int = 32, fake: bool = False
 ) -> DataFrame:
     """Image resize stage: (media_id, payload) → (media_id, width, height,
-    payload) with the resized raster as the new payload. Real resize (PIL)
-    is not in this container: fake=True emits a deterministic md5-derived
-    raster of EXACTLY width*height*3 bytes — the real memory/batch shape,
-    which is what the Spark-side plumbing has to be sized for."""
+    payload) with the resized raster (width*height*3 raw RGB bytes) as the
+    new payload. With fake=False, PNG payloads are REALLY decoded
+    (pngcodec) and nearest-neighbor resized — actual pixels out; non-PNG
+    raises NotImplementedError (no PIL in this container). fake=True emits
+    a deterministic md5-derived raster of the same exact byte shape."""
     out_schema = "media_id bigint, width int, height int, payload binary"
     n_out = width * height * 3
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
+        from web_scraper_spark.operators.pngcodec import png_decode, resize_nearest
+
         for pdf in it:
-            if not fake:
-                raise NotImplementedError(
-                    "image resize requires PIL (not in this container); "
-                    "pass fake=True for the deterministic stub"
-                )
             ids, payloads = [], []
             for row in pdf.itertuples(index=False):
-                digest = hashlib.md5(bytes(row.payload)).digest()
-                raster = (digest * (n_out // len(digest) + 1))[:n_out]
+                payload = bytes(row.payload)
+                if fake:
+                    digest = hashlib.md5(payload).digest()
+                    raster = (digest * (n_out // len(digest) + 1))[:n_out]
+                elif payload.startswith(b"\x89PNG"):
+                    raster = resize_nearest(png_decode(payload), width, height).tobytes()
+                else:
+                    raise NotImplementedError(
+                        "only PNG resize is real in this container (stdlib "
+                        "pngcodec); other formats need PIL — pass fake=True "
+                        "for the deterministic stub"
+                    )
                 ids.append(row.media_id)
                 payloads.append(raster)
             yield pd.DataFrame(

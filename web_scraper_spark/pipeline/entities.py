@@ -145,9 +145,13 @@ def valid_entity(col: Column) -> Column:
     )
 
 
-def extract_entities(docs: DataFrame, min_freq: int = 2) -> DataFrame:
+def extract_entities(docs: DataFrame, min_freq: int = 2, tagger=None) -> DataFrame:
     """Full E3 stage-1 chain over documents(doc_id, text):
-    returns (article_id, entity, entity_type, n_mentions)."""
+    returns (article_id, entity, entity_type, n_mentions).
+
+    ``tagger`` threads through to the ner_batches swap point — pass
+    pipeline/perceptron_ner.default_tagger() for the in-repo statistical
+    model (multi-type BIO), or leave None for the capitalization fallback."""
     sent = docs.select(
         F.col("doc_id").alias("article_id"),
         F.posexplode(split_sentences(F.col("text"))).alias("sentence_pos", "sentence"),
@@ -156,7 +160,7 @@ def extract_entities(docs: DataFrame, min_freq: int = 2) -> DataFrame:
     # (relation_cache analogue, relation_extraction.py:66-67), then
     # equi-join entities back to every (article, position) occurrence
     ents = (
-        ner_batches(sent.select("sentence").distinct())
+        ner_batches(sent.select("sentence").distinct(), tagger=tagger)
         .withColumn("entity", normalize_entity(F.col("entity")))
         .filter(valid_entity(F.col("entity")))
     )

@@ -664,13 +664,18 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ner_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3 stage 1 end-to-end (sentence split → vectorized NER → normalize →
-    validity → dedup → frequency gate). The corpus is lowercase, so a
-    deterministic capitalization (hash-picked tokens) gives the
-    capitalization-fallback tagger real runs to find. Rows-only: the NER
-    UDF is the non-SQL stage."""
+    validity → dedup → frequency gate), driven by the IN-REPO statistical
+    model (pipeline/perceptron_ner — averaged perceptron over multi-type
+    BIO, trained on a seeded synthetic corpus), not the capitalization
+    fallback: the P2 swap point runs a real model-shaped tag stream
+    (PER/LOC/ORG switches, orphan I- tags). The corpus is lowercase, so a
+    deterministic recase (hash-picked tokens) gives shape features signal.
+    Rows-only: the NER UDF is the non-SQL stage. Deterministic: training
+    is seeded, so weights (and thus rows) are identical on every run."""
     from web_scraper_spark.operators.hashing import hash60
     from web_scraper_spark.operators.text import clean_text, tokens
     from web_scraper_spark.pipeline.entities import extract_entities
+    from web_scraper_spark.pipeline.perceptron_ner import default_tagger
 
     docs = _docs(spark, sf_dir)
     recased = docs.select(
@@ -683,7 +688,9 @@ def q_ner_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("text"),
     )
-    return extract_entities(recased, min_freq=2).orderBy("article_id", "entity")
+    return extract_entities(recased, min_freq=2, tagger=default_tagger()).orderBy(
+        "article_id", "entity", "entity_type"
+    )
 
 
 def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -732,12 +739,13 @@ def q_lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image-resize stage over the synthetic media table (deterministic
-    fake raster — real decode stubbed per container limits). Rows-only:
-    binary payloads; shape/determinism asserted in tests."""
-    from web_scraper_spark.operators.multimodal import resize_images, synth_media
+    """Image-resize stage with REAL pixel decode: deterministic synthetic
+    PNGs → stdlib PNG decode (operators/pngcodec) → nearest-neighbor
+    resize → raw RGB raster. Rows-only: binary payloads; pixel-exactness
+    against the generator's arithmetic asserted in tests."""
+    from web_scraper_spark.operators.multimodal import resize_images, synth_png_media
 
-    out = resize_images(synth_media(spark, sf_dir), width=16, height=16, fake=True)
+    out = resize_images(synth_png_media(spark, sf_dir), width=16, height=16, fake=False)
     return out.select("media_id", "width", "height", F.length("payload").alias("n_bytes"))
 
 

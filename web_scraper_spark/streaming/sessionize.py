@@ -85,8 +85,12 @@ def _sessionize_stream_dir(spark: SparkSession, sf_dir: str, gap_s: float) -> st
     import tempfile
     from datetime import timedelta
 
-    if sf_dir in _session_stream_dirs:
-        return _session_stream_dirs[sf_dir]
+    # memo key includes gap_s: the sentinel's flush_ts depends on the gap,
+    # so a dir built for one gap would silently fail to close sessions
+    # under a larger one (ADVICE r2)
+    memo_key = (sf_dir, gap_s)
+    if memo_key in _session_stream_dirs:
+        return _session_stream_dirs[memo_key]
     d = tempfile.mkdtemp(prefix="events_sess_stream_")
     os.symlink(
         os.path.join(sf_dir, "events.parquet"), os.path.join(d, "events.parquet")
@@ -111,7 +115,7 @@ def _sessionize_stream_dir(spark: SparkSession, sf_dir: str, gap_s: float) -> st
     part = next(f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet"))
     os.rename(os.path.join(tmp, part), os.path.join(d, "sentinel.parquet"))
     shutil.rmtree(tmp)
-    _session_stream_dirs[sf_dir] = d
+    _session_stream_dirs[memo_key] = d
     return d
 
 

@@ -61,14 +61,22 @@ def stream_slot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Complete output mode over AvailableNow equals the batch aggregation
     (analytics.slot_window_events) — which is exactly the oracle the
     driver checks it against."""
-    ev = events_stream(spark, sf_dir)
-    agg = (
-        ev.withWatermark("ts", "1 hour")
+    # decimal-exact sums (analytics.dec_sum contract): the streaming agg
+    # must hash-match its batch/DuckDB oracle exactly
+    return _run_to_memory(
+        slot_counts_agg(events_stream(spark, sf_dir)), "complete"
+    )
+
+
+def slot_counts_agg(ev: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """The shared ST1 aggregation plan (watermarked 3-hour tumbling
+    windows, decimal-exact sums) — used by both the memory-sink gate query
+    (complete mode) and the checkpointed file-sink path (append mode)."""
+    return (
+        ev.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "3 hours").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            # decimal-exact sum (same contract as analytics.dec_sum): the
-            # streaming agg must hash-match its batch/DuckDB oracle exactly
             F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
             .cast("double")
             .alias("sum_value"),
@@ -77,7 +85,41 @@ def stream_slot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.start").alias("slot_start"), "event_type", "n_events", "sum_value"
         )
     )
-    return _run_to_memory(agg, "complete")
+
+
+def stream_slot_counts_to_files(
+    spark: SparkSession,
+    events_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "1 hour",
+) -> None:
+    """ST1 to a REAL sink: append-mode windowed aggregation into a parquet
+    file sink with a checkpoint. This is the production shape — the memory
+    sink is only a gate-test harness. Exactly-once across restarts comes
+    from the pair (source offsets in the checkpoint, file-sink
+    _spark_metadata commit log): re-running with the same checkpoint after
+    a kill processes only unread files and atomically logs written files,
+    so a window is emitted exactly once no matter where the kill landed.
+    Append mode emits a window only once the watermark passes it — a
+    max-ts flush row (or real late traffic) closes the final windows, the
+    same sentinel pattern sessionize_stream uses."""
+    ev = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")  # several micro-batches → the
+        # watermark advances between files and closes windows incrementally
+        .parquet(events_dir)
+    )
+    q = (
+        slot_counts_agg(ev, watermark)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
 
 
 def stream_dedup_counts(
@@ -90,7 +132,14 @@ def stream_dedup_counts(
     horizon, not the stream's lifetime — plain dropDuplicates would grow
     state forever, the unbounded-state scale-killer on a 100 TB stream.
     Duplicates arriving later than the watermark horizon are the accepted
-    trade (same contract as the crawl's slot-window skip)."""
+    trade (same contract as the crawl's slot-window skip).
+
+    Oracle-exactness contract: this is driver-gate-checked against an
+    exact count(DISTINCT event_id), which only holds when every duplicate
+    pair sits within the watermark horizon. The synthetic events generator
+    satisfies it trivially (event_id is unique at every sf), and
+    tests/test_streaming_late.py asserts that invariant against the data
+    so a generator change flips a test, not the gate."""
     ev = events_stream(spark, sf_dir).withWatermark("ts", watermark)
     dedup = ev.dropDuplicatesWithinWatermark(["event_id"])
     agg = dedup.groupBy("event_type").agg(F.count("*").alias("n_unique"))
