@@ -158,9 +158,14 @@ def extract_entities(docs: DataFrame, min_freq: int = 2, tagger=None) -> DataFra
     )
     # ST8: NER is the expensive stage → run it once per DISTINCT sentence
     # (relation_cache analogue, relation_extraction.py:66-67), then
-    # equi-join entities back to every (article, position) occurrence
+    # equi-join entities back to every (article, position) occurrence.
+    # Fanned out: AQE coalesces the small distinct-shuffle to ONE
+    # partition at test SF, which would serialize the whole model stage
+    # through a single Python worker (no-op at scale — many partitions).
+    from web_scraper_spark.operators.dedup import _fan_out
+
     ents = (
-        ner_batches(sent.select("sentence").distinct(), tagger=tagger)
+        ner_batches(_fan_out(sent.select("sentence").distinct()), tagger=tagger)
         .withColumn("entity", normalize_entity(F.col("entity")))
         .filter(valid_entity(F.col("entity")))
     )

@@ -114,27 +114,45 @@ def _features(tokens: list[str], i: int, prev_tag: str) -> list[str]:
 
 class PerceptronNER:
     """Greedy averaged-perceptron BIO tagger; instances are picklable and
-    tiny (dict of float weights), so Spark ships them to executors in the
-    mapInPandas closure."""
+    tiny (dict of dense per-feature weight rows), so Spark ships them to
+    executors in the mapInPandas closure. Scoring is a handful of small
+    numpy adds per token (dense rows over the 7 classes), not nested dict
+    iteration — the hot path of the ner_entities bench query."""
 
     def __init__(self, weights: dict):
-        self.weights = weights  # feature -> {class: float}
+        import numpy as np
+
+        # feature -> ndarray(len(CLASSES)); ties resolve to the lowest
+        # class index ("O" first) — deterministic
+        self.weights = {
+            f: (row if hasattr(row, "argmax") else _dict_to_row(row, np))
+            for f, row in weights.items()
+        }
 
     def __call__(self, tokens: list[str]) -> list[str]:
+        import numpy as np
+
+        w = self.weights
+        n = len(CLASSES)
         tags = []
         prev = "<s>"
         for i in range(len(tokens)):
-            scores = defaultdict(float)
+            vec = np.zeros(n)
             for f in _features(tokens, i, prev):
-                wf = self.weights.get(f)
-                if wf:
-                    for cls, wt in wf.items():
-                        scores[cls] += wt
-            # deterministic argmax: score desc, class name as tie-break
-            tag = max(CLASSES, key=lambda c: (scores.get(c, 0.0), c))
+                row = w.get(f)
+                if row is not None:
+                    vec += row
+            tag = CLASSES[int(vec.argmax())]
             tags.append(tag)
             prev = tag
         return tags
+
+
+def _dict_to_row(d: dict, np):
+    row = np.zeros(len(CLASSES))
+    for cls, wt in d.items():
+        row[CLASSES.index(cls)] = wt
+    return row
 
 
 def train(corpus, epochs: int = 5, seed: int = 29) -> PerceptronNER:

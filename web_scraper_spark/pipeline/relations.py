@@ -215,7 +215,13 @@ def extract_relations(
             "sentence",
         )
     )
-    classified = classify_sentences(pairs.select("sentence").distinct(), vocab)
+    # fan out before the regex tier: AQE coalesces the BYTE-small distinct
+    # to one partition, but cost here is CPU per row (19 compiled
+    # alternations over each sentence) — a single task would serialize it
+    # (no-op at scale where the shuffle stays wide)
+    from web_scraper_spark.operators.dedup import _fan_out
+
+    classified = classify_sentences(_fan_out(pairs.select("sentence").distinct()), vocab)
     edges = pairs.join(classified, on="sentence").select(
         "e1", "e2", sanitize_rel_type(F.col("rel_type")).alias("rel_type"), "sentence"
     )

@@ -677,7 +677,12 @@ def q_ner_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     from web_scraper_spark.pipeline.entities import extract_entities
     from web_scraper_spark.pipeline.perceptron_ner import default_tagger
 
-    docs = _docs(spark, sf_dir)
+    from web_scraper_spark.operators.dedup import _fan_out
+
+    # fan out the one-file scan: the recase is an interpreted Catalyst HOF
+    # (hash60 per token) — serialized through a single task it costs ~4 s
+    # at sf0.1, spread over the cores it is noise (no-op at scale)
+    docs = _fan_out(_docs(spark, sf_dir))
     recased = docs.select(
         "doc_id",
         F.array_join(
