@@ -13,10 +13,12 @@ extends the same pattern to media payloads. Design (all real and tested):
   task at scale, the same lever the crawl parse stage uses).
 
 PNG decode is REAL (operators/pngcodec.py — stdlib zlib + filter
-reconstruction): with ``fake=False``, ``decode_media`` and
-``resize_images`` decode actual PNG pixels end-to-end, so one format
-exercises the full fetch-bytes → decode → derive shape with real rasters.
-jpeg/audio/video decode stays STUBBED (no PIL/ffmpeg in this container):
+reconstruction) and WAV decode is REAL (operators/wavcodec.py — stdlib
+RIFF/PCM parse): with ``fake=False``, ``decode_media`` turns actual PNG
+pixels and actual PCM samples into features end-to-end, and
+``resize_images`` resizes real rasters — two of the three media kinds
+run the full fetch-bytes → decode → derive shape with real payloads.
+jpeg/mp3/video decode stays STUBBED (no PIL/ffmpeg in this container):
 on those payloads fake=False raises NotImplementedError, and fake=True
 emits a deterministic md5-derived stand-in with the exact schema/batch
 shape the real decoder would produce.
@@ -40,6 +42,7 @@ _MAGIC = [
     ("89504e47", "image/png"),
     ("ffd8ff", "image/jpeg"),
     ("47494638", "image/gif"),
+    ("52494646", "audio/wav"),
     ("49443303", "audio/mpeg"),
     ("00000018", "video/mp4"),
 ]
@@ -116,6 +119,73 @@ def synth_png_media(
     )
 
 
+def synth_wav_media(
+    spark: SparkSession, sf_dir: str, max_samples: int = 4096
+) -> DataFrame:
+    """Media table whose payloads are REAL PCM WAVs: deterministic per-doc
+    waveforms (seeded by doc_id; length, rate and channel count vary by
+    doc_id so decode sees heterogeneous audio). Input for the fake=False
+    audio decode path — the samples that come back out are checkable
+    against the generator's arithmetic."""
+    import pandas as pd
+
+    from web_scraper_spark.operators.wavcodec import wav_encode
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def gen(it):
+        for pdf in it:
+            ids, payloads, rates, chans = [], [], [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                rate = (8000, 16000, 44100)[d % 3]
+                ch = 1 + d % 2
+                n = 256 + (d * 37) % (max_samples - 255)
+                ids.append(d)
+                payloads.append(wav_encode(synth_waveform(d, n, ch), rate))
+                rates.append(rate)
+                chans.append(ch)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": payloads,
+                    "sample_rate": rates,
+                    "channels": chans,
+                }
+            )
+
+    out_schema = "media_id bigint, payload binary, sample_rate int, channels int"
+    return docs.mapInPandas(gen, schema=out_schema).select(
+        "media_id",
+        F.lit("audio").alias("kind"),
+        "payload",
+        F.struct(
+            F.lit("audio/wav").alias("mime"),
+            F.length("payload").cast("bigint").alias("n_bytes"),
+            F.col("sample_rate").alias("width"),
+            F.col("channels").alias("height"),
+        ).alias("meta"),
+    )
+
+
+def synth_waveform(doc_id: int, n: int, channels: int):
+    """The deterministic (n, channels) int16 waveform tests recompute:
+    a doc-seeded integer sine table plus an LCG dither, exact arithmetic
+    (no float rounding ambiguity between generator and test)."""
+    import numpy as np
+
+    t = np.arange(n, dtype=np.int64)
+    out = np.empty((n, channels), dtype=np.int16)
+    for c in range(channels):
+        period = 20 + (doc_id * 13 + c * 7) % 80
+        # triangle wave in exact integers: ramp 0..period-1 folded to ±
+        phase = (t + doc_id) % period
+        tri = np.abs(phase * 2 - (period - 1)) * (20000 // period) - 10000
+        lcg = (t * 1103515245 + doc_id * 12345 + c) % 2048 - 1024
+        out[:, c] = (tri + lcg).astype(np.int16)
+    return out
+
+
 def synth_raster(doc_id: int, w: int, h: int):
     """The deterministic (h, w, 3) uint8 gradient tests recompute."""
     import numpy as np
@@ -183,12 +253,14 @@ def media_stats_sql() -> str:
 def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
     """Decode/feature-extract stage: mapInPandas over Arrow batches.
 
-    With fake=False, PNG payloads are REALLY decoded (pngcodec) and the
-    8-dim feature vector is computed from actual pixels: per-channel
-    mean/255 and std/255, then width/4096 and height/4096. Non-PNG
-    payloads raise NotImplementedError (no PIL/ffmpeg/librosa in this
-    container). With fake=True every payload gets a deterministic
-    md5-derived vector — identical schema, partitioning and batch shape.
+    With fake=False, PNG payloads are REALLY decoded (pngcodec: 8-dim
+    vector of per-channel mean/255, std/255, width/4096, height/4096
+    from actual pixels) and WAV payloads are REALLY decoded (wavcodec:
+    duration/rate/channels/rms/peak/zero-cross/dc/energy-split from
+    actual PCM samples). Other formats raise NotImplementedError (no
+    PIL/ffmpeg/librosa in this container). With fake=True every payload
+    gets a deterministic md5-derived vector — identical schema,
+    partitioning and batch shape.
     """
     out_schema = (
         "media_id bigint, kind string, n_bytes bigint, "
@@ -199,6 +271,7 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
         import hashlib
 
         from web_scraper_spark.operators.pngcodec import png_decode
+        from web_scraper_spark.operators.wavcodec import audio_features, wav_decode
 
         for pdf in it:
             feats, ids, kinds, sizes = [], [], [], []
@@ -216,11 +289,15 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
                         round(w / 4096.0, 6),
                         round(h / 4096.0, 6),
                     ]
+                elif payload.startswith(b"RIFF"):
+                    samples, rate = wav_decode(payload)
+                    fv = audio_features(samples, rate, dim=FEATURE_DIM)
                 else:
                     raise NotImplementedError(
-                        "only PNG decode is real in this container (stdlib "
-                        "pngcodec); other formats need PIL/ffmpeg/librosa — "
-                        "pass fake=True for the deterministic stub"
+                        "only PNG and WAV decode are real in this container "
+                        "(stdlib pngcodec/wavcodec); other formats need "
+                        "PIL/ffmpeg/librosa — pass fake=True for the "
+                        "deterministic stub"
                     )
                 feats.append(fv)
                 ids.append(row.media_id)

@@ -754,6 +754,22 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("media_id", "width", "height", F.length("payload").alias("n_bytes"))
 
 
+def q_media_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature stage with REAL PCM decode: deterministic synthetic
+    WAVs → stdlib RIFF/PCM decode (operators/wavcodec) → 8-dim sample
+    features. Rows-only: binary payloads + float features; sample-exact
+    decode and closed-form feature recompute asserted in tests."""
+    from web_scraper_spark.operators.multimodal import decode_media, synth_wav_media
+
+    out = decode_media(synth_wav_media(spark, sf_dir), fake=False)
+    return out.select(
+        "media_id",
+        "n_bytes",
+        F.round(F.element_at("features", 4), 6).alias("rms"),
+        F.round(F.element_at("features", 6), 6).alias("zcr"),
+    )
+
+
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling stage (row-expanding mapInPandas; ffmpeg
     stubbed). Rows-only; per-frame counts/shapes asserted in tests."""
@@ -839,6 +855,7 @@ def queries() -> dict[str, QueryFn]:
         "crawl_fetch_log": q_crawl_fetch_log,
         "lda_topics": q_lda_topics,
         "media_resize": q_media_resize,
+        "media_audio": q_media_audio,
         "media_frames": q_media_frames,
     }
 
