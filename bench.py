@@ -229,6 +229,9 @@ HEADLINE = [
     "assign_ids",             # two-phase global rank (no single-partition window)
     "stream_slot_window",
     "media_features",
+    "media_audio",            # real stdlib WAV decode (PCM samples → features)
+    "media_video",            # real stdlib Y4M frame sampling (header-stride walk)
+    "word_segment",           # corpus-trained maximal-matching segmenter (fit+apply)
 ]
 
 

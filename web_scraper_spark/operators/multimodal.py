@@ -12,16 +12,18 @@ extends the same pattern to media payloads. Design (all real and tested):
   (``spark.sql.execution.arrow.maxRecordsPerBatch`` caps peak bytes per
   task at scale, the same lever the crawl parse stage uses).
 
-PNG decode is REAL (operators/pngcodec.py — stdlib zlib + filter
-reconstruction) and WAV decode is REAL (operators/wavcodec.py — stdlib
-RIFF/PCM parse): with ``fake=False``, ``decode_media`` turns actual PNG
-pixels and actual PCM samples into features end-to-end, and
-``resize_images`` resizes real rasters — two of the three media kinds
-run the full fetch-bytes → decode → derive shape with real payloads.
-jpeg/mp3/video decode stays STUBBED (no PIL/ffmpeg in this container):
-on those payloads fake=False raises NotImplementedError, and fake=True
-emits a deterministic md5-derived stand-in with the exact schema/batch
-shape the real decoder would produce.
+ALL THREE media kinds now decode for REAL under ``fake=False``:
+PNG pixels (operators/pngcodec.py — stdlib zlib + filter
+reconstruction), WAV samples (operators/wavcodec.py — stdlib RIFF/PCM
+parse), and Y4M video frames (operators/y4mcodec.py — YUV4MPEG2 header
+walk + planar 4:2:0 frame strides). ``decode_media`` derives features
+from actual pixels/samples/planes, ``resize_images`` resizes real
+rasters, and ``sample_frames`` finds REAL frame boundaries from the
+decoded stream header. Compressed formats (jpeg/mp3/mp4) stay STUBBED
+(no PIL/ffmpeg in this container): on those payloads fake=False raises
+NotImplementedError, and fake=True emits a deterministic md5-derived
+stand-in with the exact schema/batch shape the real decoder would
+produce.
 """
 
 from __future__ import annotations
@@ -43,6 +45,7 @@ _MAGIC = [
     ("ffd8ff", "image/jpeg"),
     ("47494638", "image/gif"),
     ("52494646", "audio/wav"),
+    ("59555634", "video/x-yuv4mpeg"),
     ("49443303", "audio/mpeg"),
     ("00000018", "video/mp4"),
 ]
@@ -168,6 +171,67 @@ def synth_wav_media(
     )
 
 
+def synth_y4m_media(
+    spark: SparkSession, sf_dir: str, max_side: int = 32
+) -> DataFrame:
+    """Media table whose payloads are REAL YUV4MPEG2 streams: deterministic
+    per-doc planar 4:2:0 frames (geometry, frame count and fps vary by
+    doc_id so the sampler sees heterogeneous strides). Input for the
+    fake=False video path — frames that come back out are checkable
+    against the generator's arithmetic."""
+    import pandas as pd
+
+    from web_scraper_spark.operators.y4mcodec import y4m_encode
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def gen(it):
+        for pdf in it:
+            ids, payloads, widths, heights = [], [], [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w = 8 + 2 * ((d * 7) % ((max_side - 8) // 2))
+                h = 8 + 2 * ((d * 11) % ((max_side - 8) // 2))
+                n_frames = 2 + d % 9
+                fps = ((24, 1), (25, 1), (30, 1))[d % 3]
+                frames = [synth_yuv_planes(d, t, w, h) for t in range(n_frames)]
+                ids.append(d)
+                payloads.append(y4m_encode(frames, fps))
+                widths.append(w)
+                heights.append(h)
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": payloads, "width": widths, "height": heights}
+            )
+
+    out_schema = "media_id bigint, payload binary, width int, height int"
+    return docs.mapInPandas(gen, schema=out_schema).select(
+        "media_id",
+        F.lit("video").alias("kind"),
+        "payload",
+        F.struct(
+            F.lit("video/x-yuv4mpeg").alias("mime"),
+            F.length("payload").cast("bigint").alias("n_bytes"),
+            F.col("width"),
+            F.col("height"),
+        ).alias("meta"),
+    )
+
+
+def synth_yuv_planes(doc_id: int, t: int, w: int, h: int):
+    """The deterministic (y, u, v) uint8 planes tests recompute — exact
+    integer gradients seeded by (doc_id, frame index)."""
+    import numpy as np
+
+    ys = np.arange(h, dtype=np.int64)[:, None]
+    xs = np.arange(w, dtype=np.int64)[None, :]
+    y = ((ys * 13 + xs * 7 + doc_id * 3 + t * 11) & 0xFF).astype("uint8")
+    ys2 = np.arange(h // 2, dtype=np.int64)[:, None]
+    xs2 = np.arange(w // 2, dtype=np.int64)[None, :]
+    u = ((ys2 * 5 + xs2 * 3 + doc_id + t * 17) & 0xFF).astype("uint8")
+    v = ((ys2 * 9 + xs2 + doc_id * 5 + t * 7) & 0xFF).astype("uint8")
+    return y, u, v
+
+
 def synth_waveform(doc_id: int, n: int, channels: int):
     """The deterministic (n, channels) int16 waveform tests recompute:
     a doc-seeded integer sine table plus an LCG dither, exact arithmetic
@@ -272,6 +336,7 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
 
         from web_scraper_spark.operators.pngcodec import png_decode
         from web_scraper_spark.operators.wavcodec import audio_features, wav_decode
+        from web_scraper_spark.operators.y4mcodec import video_features
 
         for pdf in it:
             feats, ids, kinds, sizes = [], [], [], []
@@ -292,12 +357,14 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
                 elif payload.startswith(b"RIFF"):
                     samples, rate = wav_decode(payload)
                     fv = audio_features(samples, rate, dim=FEATURE_DIM)
+                elif payload.startswith(b"YUV4MPEG2"):
+                    fv = video_features(payload, dim=FEATURE_DIM)
                 else:
                     raise NotImplementedError(
-                        "only PNG and WAV decode are real in this container "
-                        "(stdlib pngcodec/wavcodec); other formats need "
-                        "PIL/ffmpeg/librosa — pass fake=True for the "
-                        "deterministic stub"
+                        "only PNG, WAV and Y4M decode are real in this "
+                        "container (stdlib pngcodec/wavcodec/y4mcodec); "
+                        "compressed formats need PIL/ffmpeg/librosa — pass "
+                        "fake=True for the deterministic stub"
                     )
                 feats.append(fv)
                 ids.append(row.media_id)
@@ -364,29 +431,49 @@ def sample_frames(
     """Video frame sampling: one input row → N frame rows (media_id,
     frame_no, ts_s, frame) — the row-expanding mapInPandas shape (a frame
     extractor cannot be an explode of a native expression because the
-    payload must be decoded to find frame boundaries). Real extraction
-    (ffmpeg) is stubbed: fake=True derives a deterministic frame count
-    from the payload size and md5-derived frame bytes."""
+    payload must be decoded to find frame boundaries).
+
+    With fake=False, YUV4MPEG2 payloads are REALLY walked (y4mcodec):
+    frame boundaries come from the decoded header's 4:2:0 stride, every
+    ``fps_divisor``-th frame is sampled up to ``max_frames``, ``ts_s`` is
+    the true frame timestamp from the stream's fps, and ``frame`` is the
+    raw luma plane. Compressed containers (mp4) raise NotImplementedError
+    (ffmpeg not in this container). fake=True derives a deterministic
+    frame count from the payload size and md5-derived frame bytes."""
     out_schema = "media_id bigint, frame_no int, ts_s double, frame binary"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
+        from web_scraper_spark.operators.y4mcodec import y4m_decode_frame, y4m_probe
+
         for pdf in it:
-            if not fake:
-                raise NotImplementedError(
-                    "frame sampling requires ffmpeg (not in this container); "
-                    "pass fake=True for the deterministic stub"
-                )
             ids, nos, tss, frames = [], [], [], []
             for row in pdf.itertuples(index=False):
                 payload = bytes(row.payload)
-                n = min(max_frames, max(1, len(payload) // (fps_divisor * 16)))
-                for i in range(n):
-                    ids.append(row.media_id)
-                    nos.append(i)
-                    tss.append(round(i * float(fps_divisor), 3))
-                    frames.append(hashlib.md5(payload + bytes([i])).digest())
+                if fake:
+                    n = min(max_frames, max(1, len(payload) // (fps_divisor * 16)))
+                    for i in range(n):
+                        ids.append(row.media_id)
+                        nos.append(i)
+                        tss.append(round(i * float(fps_divisor), 3))
+                        frames.append(hashlib.md5(payload + bytes([i])).digest())
+                elif payload.startswith(b"YUV4MPEG2"):
+                    _w, _h, (num, den), n_total = y4m_probe(payload)
+                    picked = list(range(0, n_total, fps_divisor))[:max_frames]
+                    for out_no, idx in enumerate(picked):
+                        y, _u, _v = y4m_decode_frame(payload, idx)
+                        ids.append(row.media_id)
+                        nos.append(out_no)
+                        tss.append(round(idx * den / num, 3))
+                        frames.append(y.tobytes())
+                else:
+                    raise NotImplementedError(
+                        "only YUV4MPEG2 frame sampling is real in this "
+                        "container (stdlib y4mcodec); compressed containers "
+                        "need ffmpeg — pass fake=True for the deterministic "
+                        "stub"
+                    )
             if ids:
                 yield pd.DataFrame(
                     {"media_id": ids, "frame_no": nos, "ts_s": tss, "frame": frames}

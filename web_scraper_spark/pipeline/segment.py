@@ -1,0 +1,157 @@
+"""Corpus-trained word segmentation: the real model for the X8 segment tier.
+
+The reference joins multi-syllable Vietnamese words with underscores via
+`pyvi.ViTokenizer.tokenize` (`/root/reference/ConnectAndSave.py:81`)
+before stopword stripping. pyvi is not in this container, so — like the
+averaged-perceptron NER (pipeline/perceptron_ner.py) closed the P2 model
+tier — this module ships an in-repo statistical segmenter so the swap
+point runs a trained model rather than the identity fallback:
+
+- **fit** (`fit_lexicon`): mine the corpus itself for collocations —
+  adjacent 2-gram and 3-gram counts via native HOFs (zip_with over
+  shifted token arrays, no Python), one explode+groupBy shuffle, then a
+  TakeOrdered top-K. The driver materializes at most ``max_phrases``
+  rows (the same bounded-config collect as the stopword broadcast —
+  not a data-sized collect).
+- **apply** (`segment_docs`): greedy longest-match against the
+  broadcast lexicon (3-grams preferred over 2-grams at the same start,
+  the maximal-matching rule dictionary segmenters use), one fanned-out
+  Arrow pass via mapInPandas.
+
+At 100 TB: fit is a map-side-combined word-pair count (shuffle on the
+n-gram key) + a bounded top-K; apply is embarrassingly parallel with a
+lexicon of at most ``max_phrases`` strings on each executor.
+
+Deterministic: ties in the top-K break on the phrase string, so the
+fitted lexicon is stable across partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _words(col: Column) -> Column:
+    """lower → strip punctuation → whitespace split (raw token stream;
+    stopwords stay — segmentation happens before stopword stripping)."""
+    c = F.regexp_replace(F.lower(col), r"[^\w\s]", " ")
+    c = F.regexp_replace(F.trim(c), r"\s+", " ")
+    return F.when(F.length(c) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(c, " ")
+    )
+
+
+def _adjacent_ngrams(tokens: Column, n: int) -> Column:
+    """Adjacent n-grams (n=2 or 3) as space-joined strings, built from
+    shifted slices + zip_with — stays in the JVM."""
+    size = F.size(tokens)
+    count = F.greatest(size - (n - 1), F.lit(0))
+    s1 = F.slice(tokens, 1, count)
+    s2 = F.slice(tokens, 2, count)
+    if n == 2:
+        return F.zip_with(s1, s2, lambda a, b: F.concat_ws(" ", a, b))
+    s3 = F.slice(tokens, 3, count)
+    pair = F.zip_with(s1, s2, lambda a, b: F.concat_ws(" ", a, b))
+    return F.zip_with(pair, s3, lambda ab, c: F.concat_ws(" ", ab, c))
+
+
+def fit_lexicon(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    max_phrases: int = 5000,
+) -> list[str]:
+    """Mine the corpus for multi-word phrases: adjacent 2-/3-grams whose
+    frequency ≥ ``min_count``, top ``max_phrases`` by (count desc, phrase
+    asc). Returns space-separated phrase strings, deterministically
+    ordered."""
+    tokens = _words(F.col(text_col))
+    grams = docs.select(
+        F.explode(
+            F.concat(_adjacent_ngrams(tokens, 2), _adjacent_ngrams(tokens, 3))
+        ).alias("phrase")
+    )
+    top = (
+        grams.groupBy("phrase")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_count)
+        .orderBy(F.col("n").desc(), F.col("phrase"))
+        .limit(max_phrases)
+    )
+    return [r["phrase"] for r in top.collect()]
+
+
+def segment_tokens(words: list[str], lex2: set, lex3: set) -> list[str]:
+    """Greedy maximal matching over one token stream: at each position try
+    the 3-gram, then the 2-gram, else emit the single token. Matched
+    phrases join with underscores (the ViTokenizer output convention)."""
+    out = []
+    i, n = 0, len(words)
+    while i < n:
+        if i + 2 < n and (words[i], words[i + 1], words[i + 2]) in lex3:
+            out.append(f"{words[i]}_{words[i + 1]}_{words[i + 2]}")
+            i += 3
+        elif i + 1 < n and (words[i], words[i + 1]) in lex2:
+            out.append(f"{words[i]}_{words[i + 1]}")
+            i += 2
+        else:
+            out.append(words[i])
+            i += 1
+    return out
+
+
+def _split_lexicon(lexicon: list[str]) -> tuple[set, set]:
+    lex2, lex3 = set(), set()
+    for phrase in lexicon:
+        parts = tuple(phrase.split(" "))
+        if len(parts) == 2:
+            lex2.add(parts)
+        elif len(parts) == 3:
+            lex3.add(parts)
+    return lex2, lex3
+
+
+def segment_docs(
+    docs: DataFrame,
+    lexicon: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply the fitted lexicon: (id, n_tokens, n_words, segmented) per
+    document, where ``segmented`` is the underscore-joined word stream.
+    One fanned-out Arrow pass; the lexicon ships once per executor via
+    closure (bounded by fit's max_phrases)."""
+    import pandas as pd
+
+    from web_scraper_spark.operators.dedup import _fan_out
+
+    lex2, lex3 = _split_lexicon(lexicon)
+    prepared = _fan_out(
+        docs.select(
+            F.col(id_col).alias("doc_id"), _words(F.col(text_col)).alias("words")
+        )
+    )
+
+    def run(it):
+        for pdf in it:
+            ids, n_tok, n_seg, joined = [], [], [], []
+            for row in pdf.itertuples(index=False):
+                words = list(row.words)
+                seg = segment_tokens(words, lex2, lex3)
+                ids.append(row.doc_id)
+                n_tok.append(len(words))
+                n_seg.append(len(seg))
+                joined.append(" ".join(seg))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_tokens": n_tok,
+                    "n_words": n_seg,
+                    "segmented": joined,
+                }
+            )
+
+    return prepared.mapInPandas(
+        run, schema="doc_id bigint, n_tokens int, n_words int, segmented string"
+    )

@@ -779,6 +779,37 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("media_id", "frame_no", "ts_s", F.length("frame").alias("n_bytes"))
 
 
+def q_word_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained word segmentation (the ViTokenizer-tier model,
+    reference ConnectAndSave.py:81): fit mines adjacent 2-/3-gram
+    collocations natively (zip_with + one groupBy + bounded top-K), apply
+    is greedy maximal matching in one Arrow pass. Rows-only: the greedy
+    left-to-right consumption state is not SQL-expressible; fit
+    determinism + twin equality asserted in tests."""
+    from web_scraper_spark.operators import hashing
+    from web_scraper_spark.pipeline.segment import fit_lexicon, segment_docs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lexicon = fit_lexicon(docs, min_count=5, max_phrases=5000)
+    return segment_docs(docs, lexicon).select(
+        "doc_id", "n_tokens", "n_words", hashing.hash60(F.col("segmented")).alias("seg_hash")
+    )
+
+
+def q_media_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling with REAL stream decode: deterministic
+    synthetic YUV4MPEG2 payloads → stdlib header/stride walk
+    (operators/y4mcodec) → true frame boundaries, timestamps from the
+    stream fps, raw luma planes out. Rows-only: binary frames; plane-exact
+    decode and timestamp arithmetic asserted in tests."""
+    from web_scraper_spark.operators.multimodal import sample_frames, synth_y4m_media
+
+    out = sample_frames(
+        synth_y4m_media(spark, sf_dir), fps_divisor=3, max_frames=3, fake=False
+    )
+    return out.select("media_id", "frame_no", "ts_s", F.length("frame").alias("n_bytes"))
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -857,6 +888,8 @@ def queries() -> dict[str, QueryFn]:
         "media_resize": q_media_resize,
         "media_audio": q_media_audio,
         "media_frames": q_media_frames,
+        "media_video": q_media_video,
+        "word_segment": q_word_segment,
     }
 
 
