@@ -235,16 +235,34 @@ HEADLINE = [
 ]
 
 
-def caps_report(spark, sf_dir: str, max_bucket: int = 64, max_df: int = 1000) -> dict:
+def caps_report(
+    spark, sf_dir: str, max_bucket: int = 64, max_df: int = 1000,
+    inject_hot: int = 0,
+) -> dict:
     """No-silent-caps accounting: how much the dedup tiers' safety caps
     actually dropped at this SF. A bench that bounds coverage (hot LSH
     buckets, stop-shingle postings) must SAY what it dropped — zero here
-    means the caps exist but did not engage on this corpus."""
+    means the caps exist but did not engage on this corpus.
+
+    ``inject_hot=M`` unions M clones of one document before sketching —
+    the controlled skew a 100 TB web corpus exhibits naturally (mirror
+    farms, boilerplate): with M > max_df every shingle of that document
+    blows the posting cap, and with M > max_bucket its identical LSH
+    band keys blow the bucket cap, so the report demonstrates both caps
+    ENGAGING with exact dropped-row counts instead of merely existing."""
     from pyspark.sql import functions as F
 
     from web_scraper_spark.operators import dedup as dd
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if inject_hot:
+        hot = docs.orderBy("doc_id").limit(1).select("text")
+        clones = (
+            spark.range(inject_hot)
+            .crossJoin(F.broadcast(hot))
+            .select((F.lit(10**9) + F.col("id")).alias("doc_id"), "text")
+        )
+        docs = docs.select("doc_id", "text").unionByName(clones)
     sk = dd.sketch_docs(docs).localCheckpoint(eager=True)
     rows = dd.N_MINHASH // dd.N_BANDS
     band_structs = [
@@ -278,6 +296,7 @@ def caps_report(spark, sf_dir: str, max_bucket: int = 64, max_df: int = 1000) ->
         "max_df": max_df,
         "postings_over_max_df": int(hot_p["n"] or 0),
         "posting_rows_dropped": int(hot_p["rows"] or 0),
+        "injected_clones": inject_hot,
     }
 
 
@@ -305,6 +324,9 @@ def run_default() -> dict:
     spark.range(1000).count()  # JVM warmup
     timings = bench_queries(spark, sf_dir)
     caps = caps_report(spark, sf_dir)
+    # skew-injected twin: proves the caps engage (mirror-farm shape) with
+    # exact drop counts — "no silent caps" applied to the bench itself
+    caps_injected = caps_report(spark, sf_dir, inject_hot=1100)
     frontier = bench_frontier(spark)
     parse = bench_parse(spark)
     crawl = bench_crawl(spark)
@@ -319,6 +341,7 @@ def run_default() -> dict:
         "parse_stage": parse,
         "crawl_end_to_end": crawl,
         "caps": caps,
+        "caps_injected": caps_injected,
         "cpus": cpus,
     }
 

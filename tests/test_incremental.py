@@ -44,6 +44,59 @@ def test_seen_compaction_preserves_reads(spark, site_cfg):
     assert len(final) == eng2.state.read_fetch_log().count()  # no double fetch
 
 
+def test_incremental_compaction_links_untouched_buckets(spark):
+    """compact_seen is an Iceberg overwritePartitions analogue: a second
+    compaction rewrites ONLY the buckets the delta tail touched; every
+    untouched bucket's files are hard-linked (same inode) from the prior
+    base, so compaction cost tracks churned partitions, not table size."""
+    import os
+
+    from web_scraper_spark.frontier.state import CrawlState
+
+    d = tempfile.mkdtemp(prefix="inc_compact_")
+    st = CrawlState(spark, d, n_buckets=8)
+
+    def delta(rows):
+        return spark.createDataFrame(
+            [(h, h % 8, f"u{h}") for h in rows], "url_hash long, bucket int, url_canon string"
+        ).withColumn("round", F.lit(0))
+
+    from web_scraper_spark.frontier.state import FETCH_LOG_SCHEMA, FRONTIER_SCHEMA
+
+    fr = spark.createDataFrame([], FRONTIER_SCHEMA)
+    log = spark.createDataFrame([], FETCH_LOG_SCHEMA)
+
+    # round 1 seals URLs in all 8 buckets → first (full) compaction
+    st.commit_round(1, fr, delta(range(16)), log, {})
+    st.compact_seen(1)
+    base1 = os.path.join(d, "seen_compact=0001", "data")
+    inodes1 = {
+        name: {f: os.stat(os.path.join(base1, name, f)).st_ino
+               for f in os.listdir(os.path.join(base1, name)) if f.endswith(".parquet")}
+        for name in os.listdir(base1) if name.startswith("bucket=")
+    }
+    assert len(inodes1) == 8
+
+    # round 2 seals URLs in buckets {0, 1} only → incremental compaction
+    st.commit_round(2, fr, delta([16, 17, 24]), log, {})  # 16,24→b0, 17→b1
+    st.compact_seen(2)
+    base2 = os.path.join(d, "seen_compact=0002", "data")
+    for name, files in inodes1.items():
+        b = int(name.split("=")[1])
+        got = {f: os.stat(os.path.join(base2, name, f)).st_ino
+               for f in os.listdir(os.path.join(base2, name)) if f.endswith(".parquet")}
+        if b in (0, 1):
+            # churned partition: rewritten, none of the old inodes carried
+            assert not (set(got.values()) & set(files.values()))
+        else:
+            # untouched partition: pure metadata carry (hard links)
+            assert got == files
+
+    # and the read contract is unchanged: base+tail ≡ union of all deltas
+    got_urls = {r["url_canon"] for r in st.read_seen(2).collect()}
+    assert got_urls == {f"u{h}" for h in list(range(16)) + [16, 17, 24]}
+
+
 def test_incremental_refresh_only_recomputes_stale(spark):
     data_v1 = spark.createDataFrame(
         [("g1", "a"), ("g1", "b"), ("g2", "c"), ("g3", "d")],

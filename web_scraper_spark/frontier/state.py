@@ -161,18 +161,70 @@ class CrawlState:
                     best, path = k, os.path.join(self.dir, name, "data")
         return best, path
 
+    def _delta_buckets(self, lo_round: int, hi_round: int) -> set[int]:
+        """Buckets touched by seen deltas in rounds (lo, hi] — read from the
+        hive partition DIRECTORY NAMES, a pure metadata listing (Iceberg's
+        manifest partition-summary analogue): no data file is opened."""
+        touched: set[int] = set()
+        for i in range(lo_round + 1, hi_round + 1):
+            p = os.path.join(self._round_dir(i), "seen_delta")
+            if not os.path.isdir(p):
+                continue
+            for name in os.listdir(p):
+                if name.startswith("bucket="):
+                    touched.add(int(name.split("=")[1]))
+        return touched
+
+    @staticmethod
+    def _link_bucket_dir(src: str, dst: str) -> None:
+        os.makedirs(dst, exist_ok=True)
+        for name in os.listdir(src):
+            if name.endswith(".parquet"):
+                os.link(os.path.join(src, name), os.path.join(dst, name))
+
     def compact_seen(self, upto_round: int | None = None) -> int:
         """Fold all seen deltas ≤ upto_round into one bucket-partitioned
         base (atomic: visible only after the _COMMITTED marker lands).
         Readers at or past that round switch to base + tail; older
         compactions and the folded deltas become garbage (kept — cheap,
-        and crash-simulating tests drop round dirs independently)."""
+        and crash-simulating tests drop round dirs independently).
+
+        Incremental (Iceberg ``overwritePartitions`` analogue): when a
+        previous compaction exists, only the buckets the delta tail
+        actually touched are re-read and rewritten; every untouched
+        bucket's parquet files are HARD-LINKED from the previous base —
+        a metadata-only carry, exactly how Iceberg's replacePartitions
+        commit re-points manifests at unchanged data files. Compaction
+        cost is therefore proportional to the churned partitions, not the
+        table size — at the 10^10-URL design point a round that sealed
+        URLs in 3% of the buckets re-writes 3% of the base."""
         upto = self.last_committed_round() if upto_round is None else upto_round
-        seen = self.read_seen(upto)
+        base_round, base_path = self._latest_compaction(upto)
         cd = self._compaction_dir(upto)
-        seen.repartition(F.col("bucket")).write.mode("overwrite").partitionBy(
-            "bucket"
-        ).parquet(os.path.join(cd, "data"))
+        data = os.path.join(cd, "data")
+        if base_path is None:
+            # first compaction: full fold
+            self.read_seen(upto).repartition(F.col("bucket")).write.mode(
+                "overwrite"
+            ).partitionBy("bucket").parquet(data)
+        else:
+            touched = self._delta_buckets(base_round, upto)
+            if touched:
+                tail = self.read_seen(upto).where(
+                    F.col("bucket").isin(*[int(b) for b in touched])
+                )
+                # the base read is PARTITION-PRUNED to the touched buckets
+                # (bucket is the hive partition column, so the untouched
+                # directories are never scanned)
+                tail.repartition(F.col("bucket")).write.mode(
+                    "overwrite"
+                ).partitionBy("bucket").parquet(data)
+            os.makedirs(data, exist_ok=True)
+            for name in os.listdir(base_path):
+                if name.startswith("bucket=") and int(name.split("=")[1]) not in touched:
+                    self._link_bucket_dir(
+                        os.path.join(base_path, name), os.path.join(data, name)
+                    )
         with open(os.path.join(cd, "_COMMITTED"), "w") as f:
             f.write(str(upto))
         return upto
