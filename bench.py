@@ -322,6 +322,16 @@ def run_default() -> dict:
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = _get_spark(cpus)
     spark.range(1000).count()  # JVM warmup
+    # Arrow-worker warmup: spawn the Python worker pool once so the first
+    # mapInPandas query measures steady-state throughput, not the ~2-3 s
+    # one-time daemon fork (a long-lived cluster pays that once per
+    # executor lifetime, not per query)
+    def _ident(it):
+        yield from it
+
+    spark.range(cpus * 4, numPartitions=cpus).toDF("id").mapInPandas(
+        _ident, "id long"
+    ).count()
     timings = bench_queries(spark, sf_dir)
     caps = caps_report(spark, sf_dir)
     # skew-injected twin: proves the caps engage (mirror-farm shape) with

@@ -287,11 +287,12 @@ def minhash_signatures_arrays(
 ) -> DataFrame:
     """Signatures mh0..mh{n-1} with no shuffle and one expensive pass.
 
-    The md5 base hashes are materialized (cache — projection collapse
-    would otherwise re-run the tokenize+md5 chain once per signature
-    column); each signature is then array_min over a cheap affine rehash
-    of the cached longs."""
-    base = base_shingle_hashes(docs, id_col, text_col).cache()
+    The md5 base hashes are materialized (eager localCheckpoint —
+    projection collapse would otherwise re-run the tokenize+md5 chain
+    once per signature column; RDD-scoped storage, so no session-lifetime
+    cache entry is left behind); each signature is then array_min over a
+    cheap affine rehash of the materialized longs."""
+    base = base_shingle_hashes(docs, id_col, text_col).localCheckpoint(eager=True)
     return _signatures_from_base(base, n_hashes)
 
 
@@ -463,8 +464,12 @@ def minhash_lsh_pairs(
     hashed shingle sets (60-bit collisions negligible); only candidate
     docs' arrays are ever shuffled. Whole tier: one Arrow sketch scan,
     one band-bucket join, one candidate equi-join."""
-    # materialized: referenced 4x below (band self-join + both pair sides)
-    sk = sketch_docs(docs, id_col=id_col, text_col=text_col).cache()
+    # materialized: referenced 4x below (band self-join + both pair sides).
+    # Eager localCheckpoint, not cache(): ~2x faster to materialize the
+    # array columns (no MEMORY_AND_DISK dual write), cannot race its own
+    # first action, and its storage is RDD-scoped — freed when the frame
+    # drops instead of living in the CacheManager for the session
+    sk = sketch_docs(docs, id_col=id_col, text_col=text_col).localCheckpoint(eager=True)
     rows = N_MINHASH // N_BANDS
     band_cols = []
     for band in range(N_BANDS):

@@ -796,6 +796,37 @@ def q_word_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw per-host robots.txt bodies → politeness rules (host,
+    crawl_delay, one row per disallow prefix). The north-star's
+    "robots.txt rules" step from actual bytes: synth hosts' bodies plus a
+    grammar-edge file (multi-agent group, comment, empty Disallow,
+    User-agent after rules). Rows-only: the group line-machine is
+    urllib.robotparser's, equality-tested against it in
+    tests/test_robots.py — not SQL-expressible without reimplementing the
+    state machine in a recursive CTE."""
+    from web_scraper_spark.frontier.robots import parse_robots_txt
+    from web_scraper_spark.synth.sitegen import SiteConfig, build_robots_txt_df
+
+    edge = (
+        "edge.example",
+        "# edge grammar\nUser-agent: alphabot\nUser-agent: betabot\n"
+        "Disallow: /x  # inline\nCrawl-delay: 4\nUser-agent: *\n"
+        "Disallow:\nDisallow: /private\n",
+    )
+    bodies = build_robots_txt_df(spark, SiteConfig()).unionByName(
+        spark.createDataFrame([edge], "host string, robots_txt string")
+    )
+    rules = parse_robots_txt(bodies, default_delay=1.0)
+    return (
+        rules.select(
+            "host", "crawl_delay",
+            F.explode_outer("disallow").alias("disallow_prefix"),
+        )
+        .orderBy("host", "disallow_prefix")
+    )
+
+
 def q_media_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling with REAL stream decode: deterministic
     synthetic YUV4MPEG2 payloads → stdlib header/stride walk
@@ -890,6 +921,7 @@ def queries() -> dict[str, QueryFn]:
         "media_frames": q_media_frames,
         "media_video": q_media_video,
         "word_segment": q_word_segment,
+        "robots_parse": q_robots_parse,
     }
 
 

@@ -467,3 +467,25 @@ def build_robots_df(spark, cfg: SiteConfig | None = None):
     return spark.createDataFrame(
         rows, "host string, crawl_delay double, disallow array<string>"
     )
+
+
+def build_robots_txt_df(spark, cfg: SiteConfig | None = None):
+    """Raw per-host ``/robots.txt`` BODIES (host, robots_txt) rendering the
+    same rules build_robots_df hands over directly — the input shape a real
+    crawl sees before frontier.robots.parse_robots_txt turns bytes into the
+    rules table (round-trip equality tested in tests/test_robots.py)."""
+    from web_scraper_spark.frontier.robots import render_robots_txt
+
+    cfg = cfg or SiteConfig()
+    rows = []
+    for source, base in cfg.hosts.items():
+        host = base.split("//", 1)[1]
+        rows.append(
+            (
+                host,
+                render_robots_txt(
+                    float(cfg.crawl_delay[source]), list(cfg.robots_disallow[source])
+                ),
+            )
+        )
+    return spark.createDataFrame(rows, "host string, robots_txt string")
