@@ -219,6 +219,7 @@ HEADLINE = [
     "near_pairs_blocked",
     "dedup_clusters",
     "corpus_filter",
+    "incremental_dedup",      # delta-vs-corpus: only the 10% batch is sketched
     "ann_brute_topk",
     "ann_topk_blocked",
     "ann_lsh_pairs",

@@ -97,6 +97,94 @@ def test_incremental_compaction_links_untouched_buckets(spark):
     assert got_urls == {f"u{h}" for h in list(range(16)) + [16, 17, 24]}
 
 
+def _pair_set(df):
+    return {(r["doc_a"], r["doc_b"], round(r["jaccard"], 6)) for r in df.collect()}
+
+
+def test_delta_near_dups_equals_union_subset(spark):
+    """delta_near_dups(corpus_sk, delta) == minhash_lsh_pairs(corpus ∪ delta)
+    restricted to delta-involving pairs — the operator's contract — AND the
+    DuckDB oracle (minhash_lsh_pairs_sql + delta-membership filter) agrees
+    value-exactly."""
+    import duckdb
+
+    from web_scraper_spark.operators import dedup as dd
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    delta = docs.where(F.col("doc_id") % 10 == 0)
+
+    corpus_sk = dd.sketch_docs(corpus).localCheckpoint(eager=True)
+    got = _pair_set(dd.delta_near_dups(corpus_sk, delta, tau=0.4))
+
+    union_pairs = dd.minhash_lsh_pairs(docs, tau=0.4).where(
+        (F.col("doc_a") % 10 == 0) | (F.col("doc_b") % 10 == 0)
+    )
+    assert got == _pair_set(union_pairs)
+    assert got  # non-vacuous: the synthetic corpus has near-dup clones
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    oracle = con.execute(
+        f"SELECT * FROM ({dd.minhash_lsh_pairs_sql('documents', tau=0.4)}) "
+        "WHERE doc_a % 10 = 0 OR doc_b % 10 = 0"
+    ).fetchall()
+    assert got == {(a, b, round(j, 6)) for a, b, j in oracle}
+
+
+def test_delta_near_dups_reuses_persisted_sketch(spark, tmp_path):
+    """The corpus side enters as a persisted parquet signature table: the
+    corpus TEXT contributes zero Python stages (exactly ONE Arrow pass — the
+    delta sketch — in the optimized plan), and two different deltas reuse
+    the same index without resketching."""
+    from web_scraper_spark.operators import dedup as dd
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 10 > 1)
+
+    skp = str(tmp_path / "corpus_sk")
+    dd.sketch_docs(corpus).write.parquet(skp)
+    corpus_sk = spark.read.parquet(skp)
+
+    for m in (0, 1):  # two batches against the same persisted table
+        delta = docs.where(F.col("doc_id") % 10 == m)
+        out = dd.delta_near_dups(corpus_sk, delta, tau=0.4)
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        # the delta's one Arrow sketch ran EAGERLY at construction
+        # (localCheckpoint → LogicalRDD); the remaining lazy plan is pure
+        # codegen over the persisted corpus parquet + that RDD — zero
+        # Python stages touch the corpus
+        assert plan.count("MapInPandas") == 0 and plan.count("LogicalRDD") > 0
+        expect = dd.minhash_lsh_pairs(corpus.unionByName(delta), tau=0.4).where(
+            (F.col("doc_a") % 10 == m) | (F.col("doc_b") % 10 == m)
+        )
+        assert _pair_set(out) == _pair_set(expect)
+
+
+def test_delta_near_dups_cap_counts_both_sides(spark):
+    """A bucket pushed over max_bucket only by the DELTA's arrival is
+    dropped, exactly as the union run would drop it."""
+    from web_scraper_spark.operators import dedup as dd
+
+    text = "mot hai ba bon nam sau bay tam"  # identical docs → one bucket/band
+    corpus = spark.createDataFrame(
+        [(i, text) for i in range(1, 5)], "doc_id long, text string"
+    )
+    delta = spark.createDataFrame(
+        [(100 + i, text) for i in range(4)], "doc_id long, text string"
+    )
+    sk = dd.sketch_docs(corpus).localCheckpoint(eager=True)
+    # 4 corpus + 4 delta = 8 > cap 6 → everything dropped
+    assert dd.delta_near_dups(sk, delta, max_bucket=6).count() == 0
+    # cap 8 admits the bucket: 4x4 cross + C(4,2) delta pairs, all j=1.0
+    got = _pair_set(dd.delta_near_dups(sk, delta, max_bucket=8))
+    assert len(got) == 16 + 6 and all(j == 1.0 for _, _, j in got)
+
+
 def test_incremental_refresh_only_recomputes_stale(spark):
     data_v1 = spark.createDataFrame(
         [("g1", "a"), ("g1", "b"), ("g2", "c"), ("g3", "d")],

@@ -449,6 +449,27 @@ def sketch_docs(
     )
 
 
+def mins_band_buckets(sk: DataFrame) -> DataFrame:
+    """(doc_id, band, bkey): the banded LSH inverted index over a sketch
+    frame's ``mins`` column — pure codegen (element_at + md5 + explode), no
+    Python. This projection IS the persistable index artifact of a
+    production corpus: append delta rows as batches land, bucket the table
+    by ``bkey`` on disk, and delta lookups prune to touched buckets."""
+    rows = N_MINHASH // N_BANDS
+    band_cols = []
+    for band in range(N_BANDS):
+        members = [F.element_at("mins", band * rows + r + 1) for r in range(rows)]
+        band_cols.append(
+            F.struct(
+                F.lit(band).alias("band"),
+                F.md5(F.concat_ws(",", *members)).alias("bkey"),
+            )
+        )
+    return sk.select("doc_id", F.explode(F.array(*band_cols)).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey")
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     tau: float = 0.4,
@@ -470,19 +491,7 @@ def minhash_lsh_pairs(
     # first action, and its storage is RDD-scoped — freed when the frame
     # drops instead of living in the CacheManager for the session
     sk = sketch_docs(docs, id_col=id_col, text_col=text_col).localCheckpoint(eager=True)
-    rows = N_MINHASH // N_BANDS
-    band_cols = []
-    for band in range(N_BANDS):
-        members = [F.element_at("mins", band * rows + r + 1) for r in range(rows)]
-        band_cols.append(
-            F.struct(
-                F.lit(band).alias("band"),
-                F.md5(F.concat_ws(",", *members)).alias("bkey"),
-            )
-        )
-    buckets = sk.select("doc_id", F.explode(F.array(*band_cols)).alias("b")).select(
-        "doc_id", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey")
-    )
+    buckets = mins_band_buckets(sk)
     from pyspark.sql import Window
 
     w = Window.partitionBy("band", "bkey")
@@ -533,6 +542,78 @@ def minhash_lsh_pairs_sql(table: str = "documents", tau: float = 0.4) -> str:
         JOIN sets sb ON sb.doc_id = cand.doc_b
         WHERE {jac} >= {tau}
     """
+
+
+def delta_near_dups(
+    corpus_sk: DataFrame,
+    delta_docs: DataFrame,
+    tau: float = 0.4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Incremental near-dup: a NEW batch against a PERSISTED corpus sketch
+    table — the production training-pipeline loop (daily crawl increment
+    vs historical corpus) where re-running the corpus×corpus tier would be
+    O(corpus) per batch.
+
+    ``corpus_sk`` is the persisted output of :func:`sketch_docs`
+    (doc_id, mins, shset) — the corpus TEXT is never touched; the only
+    Python/Arrow pass is the delta's own sketch. The corpus band index is
+    pruned to delta-touched (band, bkey) buckets before anything joins
+    (semi-join ≈ partition pruning when the index table is bucketed by
+    bkey on disk), so per-batch cost is O(|delta| + touched buckets).
+
+    Result contract (tested + DuckDB-oracled in tests/test_incremental.py):
+    exactly ``minhash_lsh_pairs(corpus ∪ delta)`` restricted to pairs with
+    at least one delta doc — i.e. precisely the pairs that APPEAR when the
+    batch lands. The ``max_bucket`` cap therefore counts corpus+delta
+    members together (a bucket pushed over the cap by the delta is dropped,
+    as the union run would drop it)."""
+    dsk = sketch_docs(delta_docs, id_col=id_col, text_col=text_col).localCheckpoint(
+        eager=True
+    )
+    db = mins_band_buckets(dsk)
+    touched = db.select("band", "bkey").distinct()
+    # all corpus members of delta-touched buckets (pruned BEFORE any join)
+    cb = mins_band_buckets(corpus_sk).join(touched, on=["band", "bkey"], how="left_semi")
+    c_n = cb.groupBy("band", "bkey").agg(F.count("*").alias("c_n"))
+    d_n = db.groupBy("band", "bkey").agg(F.count("*").alias("d_n"))
+    ok = (
+        d_n.join(c_n, on=["band", "bkey"], how="left")
+        .where(F.col("d_n") + F.coalesce(F.col("c_n"), F.lit(0)) <= max_bucket)
+        .select("band", "bkey")
+    )
+    db_ok = db.join(ok, on=["band", "bkey"], how="left_semi")
+    cand_dc = db_ok.alias("d").join(cb.alias("c"), on=["band", "bkey"]).select(
+        F.least("d.doc_id", "c.doc_id").alias("doc_a"),
+        F.greatest("d.doc_id", "c.doc_id").alias("doc_b"),
+    )
+    cand_dd = (
+        db_ok.alias("a")
+        .join(db_ok.alias("b"), on=["band", "bkey"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    cand = cand_dc.unionByName(cand_dd).distinct()
+    sets = corpus_sk.select("doc_id", "shset").unionByName(dsk.select("doc_id", "shset"))
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("sa"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("sb"))
+    n_common = F.size(F.array_intersect("sa", "sb"))
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                n_common.cast("double")
+                / (F.size("sa") + F.size("sb") - n_common).cast("double"),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= tau)
+        .select("doc_a", "doc_b", "jaccard")
+    )
 
 
 # ---------------------------------------------------------------------------

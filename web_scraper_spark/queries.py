@@ -209,6 +209,25 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental delta-vs-corpus near-dup (dd.delta_near_dups): docs with
+    doc_id % 10 == 0 are the 'new batch', the rest the persisted corpus —
+    only the delta is ever sketched; the corpus side enters as its
+    signature table. Rows-only REGISTRATION (the driver gate's 50-query
+    oracle window is full) but fully DuckDB-oracled in pytest:
+    tests/test_incremental.py asserts value-equality to
+    minhash_lsh_pairs_sql(documents) WHERE a delta doc participates, plus
+    equality to the minhash_lsh_pairs(union) subset and an
+    only-one-Arrow-pass plan shape."""
+    docs = _docs(spark, sf_dir)
+    corpus_sk = dd.sketch_docs(docs.where(F.col("doc_id") % 10 != 0)).localCheckpoint(
+        eager=True
+    )
+    return dd.delta_near_dups(
+        corpus_sk, docs.where(F.col("doc_id") % 10 == 0), tau=0.4
+    ).orderBy("doc_a", "doc_b")
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
@@ -922,6 +941,7 @@ def queries() -> dict[str, QueryFn]:
         "media_video": q_media_video,
         "word_segment": q_word_segment,
         "robots_parse": q_robots_parse,
+        "incremental_dedup": q_incremental_dedup,
     }
 
 
