@@ -252,6 +252,40 @@ def test_ivf_topk_recall_vs_brute(spark, sf_dir):
     assert len(part & brute) / len(brute) >= 0.5
 
 
+def test_ivf_probe_from_persisted_index(spark, sf_dir, tmp_path):
+    """build once → write partitionBy(cell) → probe from parquet: results
+    equal the in-session composition, k-means never refits, and the scan
+    touches ONLY probed cells' partition directories (plan-time pruning —
+    the Iceberg read shape the docstring claims)."""
+    from web_scraper_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assigned, centroids = sim.build_ivf_index(emb, n_cells=8)
+    idx_path = str(tmp_path / "ivf_index")
+    assigned.write.partitionBy("cell").parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    got = sim.ivf_probe(index, centroids, queries, k=5, n_probe=4)
+
+    # pruning: the index scan carries the static cell IN-list as a
+    # PARTITION filter (plan-time directory skipping, not a row filter)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [
+        ln for ln in plan.splitlines() if "PartitionFilters" in ln and "cell" in ln
+    ]
+    assert scan_lines and any("IN" in ln or "in(cell" in ln for ln in scan_lines), plan
+
+    expect = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in sim.ivf_topk(emb, n_queries=3, k=5, n_cells=8, n_probe=4).collect()
+    }
+    assert {(r["query_id"], r["neighbor_id"], r["rank"]) for r in got.collect()} == expect
+
+
 def test_grain_k_schedule():
     from web_scraper_spark.operators.topics import grain_k
 

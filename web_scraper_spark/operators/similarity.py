@@ -329,43 +329,51 @@ def lsh_buckets_sql(table: str = "embeddings", n_tables: int = 2, n_planes: int 
     return selects
 
 
-def ivf_topk(
-    emb: DataFrame,
-    n_queries: int = 5,
-    k: int = 10,
-    n_cells: int = 16,
-    n_probe: int = 4,
-    seed: int = 42,
-) -> DataFrame:
-    """IVF approximate top-k: k-means coarse quantizer (Spark ML, seeded),
-    queries probe their n_probe nearest cells, exact cosine within probed
-    cells only.
+def build_ivf_index(
+    emb: DataFrame, n_cells: int = 16, seed: int = 42
+) -> tuple[DataFrame, list[list[float]]]:
+    """Fit the IVF coarse quantizer ONCE and return the persistable
+    artifacts: (assignments ``(cell, vec_id, arr)`` — write it
+    ``partitionBy("cell")`` so probes prune partitions — and the centroid
+    table as a plain list, small enough to ship as a config/broadcast).
 
-    The scale shape: the corpus is written PARTITIONED BY cell (each cell
-    a contiguous parquet range), a query touches n_probe/n_cells of the
-    data — partition pruning does the skipping. Recall rises with n_probe
-    (n_probe = n_cells degenerates to exact brute force). ML fit → not
-    SQL-expressible → rows-only; recall vs brute asserted in tests."""
+    The production loop builds this on the corpus once, persists both, and
+    every later query batch probes from the stored table without refitting
+    (ivf_probe) — k-means never reruns per batch."""
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
+    from pyspark.ml.functions import array_to_vector
 
     vecs = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("arr")
     ).withColumn("features", array_to_vector("arr"))
     km = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell")
     model = km.fit(vecs)
-    assigned = model.transform(vecs).select("vec_id", "arr", "cell")
-
+    assigned = model.transform(vecs).select("cell", "vec_id", "arr")
     centroids = [[float(x) for x in c] for c in model.clusterCenters()]
-    cent_df = emb.sparkSession.createDataFrame(
+    return assigned, centroids
+
+
+def ivf_probe(
+    index: DataFrame,
+    centroids: list[list[float]],
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Top-k from a PERSISTED IVF index (build_ivf_index artifacts) for a
+    ``(query_id, qv)`` batch — no refit, no full scan.
+
+    The probed cell set is collected (bounded: ≤ n_queries × n_probe ints,
+    a metadata-sized collect exactly like the politeness host list) and
+    applied as a STATIC ``cell IN (...)`` predicate, so a cell-partitioned
+    parquet index prunes at plan time — the Iceberg/partition-pruning read
+    shape (asserted on inputFiles in tests). Exact cosine only inside
+    probed cells; queries that are corpus members exclude themselves."""
+    from pyspark.sql import Window
+
+    cent_df = index.sparkSession.createDataFrame(
         [(i, c) for i, c in enumerate(centroids)], "cell int, centroid array<double>"
     )
-    queries = assigned.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("arr").alias("qv")
-    )
-    # probe list: n_probe nearest centroids per query (tiny cross join)
     q_cells = (
         F.broadcast(queries)
         .crossJoin(F.broadcast(cent_df))
@@ -377,8 +385,9 @@ def ivf_topk(
         .where(F.col("rnk") <= n_probe)
         .select("query_id", "qv", "cell")
     )
+    cells = sorted({r["cell"] for r in probes.select("cell").distinct().collect()})
     scored = (
-        probes.join(assigned, on="cell")
+        probes.join(index.where(F.col("cell").isin(cells)), on="cell")
         .where(F.col("query_id") != F.col("vec_id"))
         .withColumn("cos_sim", cosine_expr(F.col("qv"), F.col("arr")))
     )
@@ -395,6 +404,32 @@ def ivf_topk(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: k-means coarse quantizer (Spark ML, seeded),
+    queries probe their n_probe nearest cells, exact cosine within probed
+    cells only — build_ivf_index + ivf_probe composed in one session (the
+    persisted-index path is the same code probing from parquet; see
+    tests/test_pipeline.py::test_ivf_probe_from_persisted_index).
+
+    The scale shape: the corpus is written PARTITIONED BY cell (each cell
+    a contiguous parquet range), a query touches n_probe/n_cells of the
+    data — partition pruning does the skipping. Recall rises with n_probe
+    (n_probe = n_cells degenerates to exact brute force). ML fit → not
+    SQL-expressible → rows-only; recall vs brute asserted in tests."""
+    assigned, centroids = build_ivf_index(emb, n_cells=n_cells, seed=seed)
+    queries = assigned.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("arr").alias("qv")
+    )
+    return ivf_probe(assigned, centroids, queries, k=k, n_probe=n_probe)
 
 
 def lsh_ann_pairs(
