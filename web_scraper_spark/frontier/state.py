@@ -321,33 +321,45 @@ class CrawlState:
             except FileNotFoundError:
                 pass
 
+    # the closed status vocabulary the engine writes (frontier/engine.py
+    # fetch-log coalesce). commit_round observes a count per status DURING
+    # the fetch_log write; an unexpected status trips the total-vs-sum
+    # check and falls back to an exact scan, so generic callers stay safe.
+    LOG_STATUSES = ("crawled", "skipped_out_of_window", "fetch_failed", "parse_empty")
+
     def _commit_round_locked(
         self, k, rd, frontier_next, seen_delta, fetch_log, metrics, host_state
     ) -> dict:
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pyspark.sql import Observation
+
         lineage = {}
-        # frontier sorted by the canonical priority key within partitions →
-        # the parquet files are priority-ordered (Iceberg sort-order analogue,
-        # SURVEY.md §4: top-priority reads are file-skipping at scale)
-        fr = frontier_next.sortWithinPartitions("depth", "source_pos", "category_pos", "page_no", "listing_pos")
-        fr.write.mode("overwrite").parquet(os.path.join(rd, "frontier"))
-        lineage["frontier"] = _partition_counts(os.path.join(rd, "frontier"))
-        sd = seen_delta.repartition(F.col("bucket"))
-        sd.write.mode("overwrite").partitionBy("bucket").parquet(
-            os.path.join(rd, "seen_delta")
+        # per-status metrics ride the fetch_log write itself (CollectMetrics:
+        # exactly-once per written row) — zero metric-only jobs per round
+        obs = Observation(f"fetch_log_status_r{k}")
+        observed = fetch_log.observe(
+            obs,
+            F.count(F.lit(1)).alias("total"),
+            *[F.count_if(F.col("status") == s).alias(s) for s in self.LOG_STATUSES],
         )
-        lineage["seen_delta"] = _partition_counts(os.path.join(rd, "seen_delta"))
-        fetch_log.write.mode("overwrite").parquet(os.path.join(rd, "fetch_log"))
+        # the fetch_log write runs FIRST and alone: its plan materializes the
+        # round's shared cached frames (parse/join chain), so the concurrent
+        # writes below all read hot caches instead of racing to compute them
+        observed.write.mode("overwrite").parquet(os.path.join(rd, "fetch_log"))
         lineage["fetch_log"] = _partition_counts(os.path.join(rd, "fetch_log"))
-        # per-status metrics from the WRITTEN log — a scan of the small
-        # committed file, not a second execution of the round's join chain
-        sc = {
-            r["status"]: r["count"]
-            for r in self.spark.read.schema(FETCH_LOG_SCHEMA)
-            .parquet(os.path.join(rd, "fetch_log"))
-            .groupBy("status")
-            .count()
-            .collect()
-        }
+        row = obs.get
+        sc = {s: row[s] for s in self.LOG_STATUSES if row[s] > 0}
+        if sum(sc.values()) != row["total"]:
+            # a status outside the engine vocabulary: recount exactly
+            sc = {
+                r["status"]: r["count"]
+                for r in self.spark.read.schema(FETCH_LOG_SCHEMA)
+                .parquet(os.path.join(rd, "fetch_log"))
+                .groupBy("status")
+                .count()
+                .collect()
+            }
         metrics = {
             **metrics,
             "status_counts": sc,
@@ -357,45 +369,78 @@ class CrawlState:
             "skipped_out_of_window": sc.get("skipped_out_of_window", 0),
             "fetch_failed": sc.get("fetch_failed", 0),
         }
-        if self.bloom_spec is not None:
-            # incremental bloom: bitmaps of THIS round's delta (re-read from
-            # what was just written — no upstream recompute) OR-merged into
-            # the previous round's table; no bitmap ever touches the driver
-            from web_scraper_spark.frontier.bloom import (
-                bucket_bloom_df,
-                merge_bloom_tables,
-            )
 
-            prev = self.read_blooms(k - 1)
-            if prev is not None:
-                delta = bucket_bloom_df(
-                    self.spark.read.schema(SEEN_SCHEMA).parquet(
-                        os.path.join(rd, "seen_delta")
-                    ),
-                    self.bloom_spec,
-                )
-                merged = merge_bloom_tables(prev, delta)
-            elif k > 1:
-                # resuming a pre-bloom state dir (or bloom enabled
-                # mid-crawl): a delta-only bitmap would poison every later
-                # round — URLs sealed in rounds 1..k-1 would test
-                # "definitely new", skip the exact anti-join, and be
-                # re-crawled. Rebuild ONCE from the full seen set (which
-                # includes this round's just-written delta); later rounds
-                # resume the cheap incremental OR-merge from here.
-                merged = bucket_bloom_df(self.read_seen(k), self.bloom_spec)
-            else:
-                merged = bucket_bloom_df(
-                    self.spark.read.schema(SEEN_SCHEMA).parquet(
-                        os.path.join(rd, "seen_delta")
-                    ),
-                    self.bloom_spec,
-                )
-            merged.write.mode("overwrite").parquet(os.path.join(rd, "bloom"))
-        if host_state is not None:
-            host_state.write.mode("overwrite").parquet(
-                os.path.join(rd, "host_state")
+        # the remaining datasets are pairwise independent (bloom depends only
+        # on the written seen_delta) — issue them as concurrent Spark jobs so
+        # the per-job scheduling constant is paid once, not per dataset. At
+        # cluster scale this also overlaps each write's straggler tail.
+        def _write_frontier() -> list[int]:
+            # frontier sorted by the canonical priority key within partitions
+            # → the parquet files are priority-ordered (Iceberg sort-order
+            # analogue, SURVEY.md §4: top-priority reads file-skip at scale)
+            fr = frontier_next.sortWithinPartitions(
+                "depth", "source_pos", "category_pos", "page_no", "listing_pos"
             )
+            fr.write.mode("overwrite").parquet(os.path.join(rd, "frontier"))
+            return _partition_counts(os.path.join(rd, "frontier"))
+
+        def _write_seen_then_bloom() -> list[int]:
+            sd = seen_delta.repartition(F.col("bucket"))
+            sd.write.mode("overwrite").partitionBy("bucket").parquet(
+                os.path.join(rd, "seen_delta")
+            )
+            counts = _partition_counts(os.path.join(rd, "seen_delta"))
+            if self.bloom_spec is not None:
+                # incremental bloom: bitmaps of THIS round's delta (re-read
+                # from what was just written — no upstream recompute)
+                # OR-merged into the previous round's table; no bitmap ever
+                # touches the driver
+                from web_scraper_spark.frontier.bloom import (
+                    bucket_bloom_df,
+                    merge_bloom_tables,
+                )
+
+                prev = self.read_blooms(k - 1)
+                if prev is not None:
+                    delta = bucket_bloom_df(
+                        self.spark.read.schema(SEEN_SCHEMA).parquet(
+                            os.path.join(rd, "seen_delta")
+                        ),
+                        self.bloom_spec,
+                    )
+                    merged = merge_bloom_tables(prev, delta)
+                elif k > 1:
+                    # resuming a pre-bloom state dir (or bloom enabled
+                    # mid-crawl): a delta-only bitmap would poison every later
+                    # round — URLs sealed in rounds 1..k-1 would test
+                    # "definitely new", skip the exact anti-join, and be
+                    # re-crawled. Rebuild ONCE from the full seen set (which
+                    # includes this round's just-written delta); later rounds
+                    # resume the cheap incremental OR-merge from here.
+                    merged = bucket_bloom_df(self.read_seen(k), self.bloom_spec)
+                else:
+                    merged = bucket_bloom_df(
+                        self.spark.read.schema(SEEN_SCHEMA).parquet(
+                            os.path.join(rd, "seen_delta")
+                        ),
+                        self.bloom_spec,
+                    )
+                merged.write.mode("overwrite").parquet(os.path.join(rd, "bloom"))
+            return counts
+
+        def _write_host_state() -> None:
+            if host_state is not None:
+                host_state.write.mode("overwrite").parquet(
+                    os.path.join(rd, "host_state")
+                )
+
+        with ThreadPoolExecutor(max_workers=3) as ex:
+            f_frontier = ex.submit(_write_frontier)
+            f_seen = ex.submit(_write_seen_then_bloom)
+            f_host = ex.submit(_write_host_state)
+            lineage["frontier"] = f_frontier.result()
+            lineage["seen_delta"] = f_seen.result()
+            f_host.result()
         man = {"round": k, "lineage": lineage, "metrics": metrics}
         fd, tmp = tempfile.mkstemp(dir=rd, prefix=".manifest-")
         with os.fdopen(fd, "w") as f:
