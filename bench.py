@@ -7,6 +7,10 @@
     python bench.py --scaling   # north-rule scaling evidence: the same
                                 # frontier job at local[8] vs local[32],
                                 # throughput at both + efficiency
+    SPARK_GRAFT_CRAWL_APC=1600 python bench.py --crawl-scaling
+                                # crawl e2e N->4N efficiency at a chosen
+                                # round size (evidence the per-round
+                                # constant amortizes as rounds grow)
 
 Headline metric (BASELINE.json north rule): frontier URLs expanded+deduped
 per second. The frontier microbench generates a deterministic synthetic
@@ -455,9 +459,59 @@ def run_scaling(n: int = 2, n4: int = 8) -> dict:
     return out
 
 
+def run_crawl_level(cpus: int) -> dict:
+    """Crawl-only pinned level (child of --crawl-scaling). Site size via
+    $SPARK_GRAFT_CRAWL_APC (articles per category; default 400)."""
+    apc = int(os.environ.get("SPARK_GRAFT_CRAWL_APC", "400"))
+    spark = _get_spark(cpus, pin=True)
+    spark.range(1000).count()
+    crawl = bench_crawl(spark, articles_per_category=apc)
+    spark.stop()
+    return {"cpus": cpus, "articles_per_category": apc, "crawl": crawl}
+
+
+def run_crawl_scaling(n: int = 2, n4: int = 8) -> dict:
+    """Crawl end-to-end scaling at a configurable ROUND SIZE: the per-round
+    commit/planning constant is fixed, so efficiency must RISE with round
+    size — this mode evidences that the toy-bench crawl efficiency is
+    amortization, not a serial bottleneck. Same alternating best-of-2
+    pinned-subprocess protocol as --scaling."""
+    import subprocess
+
+    def one_level(cpus: int) -> dict:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--crawl-level", str(cpus)],
+            capture_output=True, text=True, check=True,
+        )
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    out: dict = {"levels": {}}
+    for _pass in range(2):
+        for cpus in (n, n4):
+            got = one_level(cpus)
+            prev = out["levels"].get(str(cpus))
+            if prev is None or got["crawl"]["wall_s"] < prev["crawl"]["wall_s"]:
+                out["levels"][str(cpus)] = got
+    cN = out["levels"][str(n)]["crawl"]["urls_per_s"]
+    c4N = out["levels"][str(n4)]["crawl"]["urls_per_s"]
+    out["articles_per_category"] = out["levels"][str(n)]["articles_per_category"]
+    out["crawl_scaling_efficiency"] = round(c4N / ((n4 / n) * cN), 3)
+    out["metric"] = (
+        f"crawl end-to-end scaling efficiency, local[{n}] -> local[{n4}] "
+        f"(CPU-pinned, articles_per_category={out['articles_per_category']})"
+    )
+    out["value"] = out["crawl_scaling_efficiency"]
+    out["unit"] = "efficiency"
+    return out
+
+
 if __name__ == "__main__":
     if "--level" in sys.argv:
         result = run_level(int(sys.argv[sys.argv.index("--level") + 1]))
+    elif "--crawl-level" in sys.argv:
+        result = run_crawl_level(int(sys.argv[sys.argv.index("--crawl-level") + 1]))
+    elif "--crawl-scaling" in sys.argv:
+        result = run_crawl_scaling()
     elif "--scaling" in sys.argv:
         result = run_scaling()
     else:

@@ -181,3 +181,56 @@ def test_two_phase_politeness_equals_single_window(spark):
     assert got == want
     # hot host got exactly its budget (40 fetches at 0.5s delay in 20s)
     assert sum(1 for h, _, _ in got if h == "hot.example") == 40
+
+
+def test_frontier_sort_order_enables_rowgroup_skipping(spark, tmp_path):
+    """The committer writes frontier files sorted by the priority key
+    (frontier/state.py sortWithinPartitions — the Iceberg sort-order
+    analogue). Prove the skip is REAL, not just claimed: in a
+    multi-row-group frontier file the depth column's footer stats are
+    clustered (most row groups are single-depth), so a top-priority
+    depth=0 read can discard most row groups from the footers alone —
+    and the filter actually reaches the scan as a pushed predicate."""
+    import pyarrow.parquet as pq
+
+    n = 400_000
+    fr = spark.range(n).select(
+        (F.col("id") % 3).cast("int").alias("depth"),
+        (F.col("id") % 5).cast("int").alias("source_pos"),
+        (F.col("id") % 7).cast("int").alias("category_pos"),
+        (F.col("id") % 11).cast("int").alias("page_no"),
+        (F.col("id") % 13).cast("int").alias("listing_pos"),
+        F.concat(F.lit("https://h.example/a-"), F.col("id")).alias("url"),
+    )
+    out = str(tmp_path / "frontier_sorted")
+    (
+        fr.repartition(2)
+        .sortWithinPartitions(
+            "depth", "source_pos", "category_pos", "page_no", "listing_pos"
+        )
+        # small row groups so one file holds many — the 100 TB shape in
+        # miniature (a real frontier file holds hundreds of row groups)
+        .write.option("parquet.block.size", 256 * 1024)
+        .mode("overwrite")
+        .parquet(out)
+    )
+    groups = []  # (min_depth, max_depth) per row group across all files
+    import os as _os
+
+    for name in _os.listdir(out):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(_os.path.join(out, name)).metadata
+        depth_idx = md.schema.names.index("depth")
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(depth_idx).statistics
+            groups.append((st.min, st.max))
+    assert len(groups) >= 6, groups  # genuinely multi-row-group
+    single_depth = sum(1 for lo, hi in groups if lo == hi)
+    assert single_depth / len(groups) >= 0.5, groups  # sorted → clustered
+    # a depth=0 scan can skip every row group whose range excludes 0
+    skippable = sum(1 for lo, hi in groups if not (lo <= 0 <= hi))
+    assert skippable / len(groups) >= 0.4, groups
+    # and Spark pushes the predicate down to the scan
+    plan = _plan(spark.read.parquet(out).where(F.col("depth") == 0))
+    assert "PushedFilters: [IsNotNull(depth), EqualTo(depth,0)]" in plan, plan
