@@ -367,8 +367,10 @@ def ivf_probe(
     a metadata-sized collect exactly like the politeness host list) and
     applied as a STATIC ``cell IN (...)`` predicate, so a cell-partitioned
     parquet index prunes at plan time — the Iceberg/partition-pruning read
-    shape (asserted on inputFiles in tests). Exact cosine only inside
-    probed cells; queries that are corpus members exclude themselves."""
+    shape (the scan's PartitionFilters carry the IN-list, plan-asserted in
+    tests/test_pipeline.py::test_ivf_probe_from_persisted_index). Exact
+    cosine only inside probed cells; queries that are corpus members
+    exclude themselves."""
     from pyspark.sql import Window
 
     cent_df = index.sparkSession.createDataFrame(
