@@ -1,0 +1,142 @@
+"""Corpus-curation operators: decontamination / PII scrub / repetition.
+
+Value-exactness vs DuckDB is covered by the oracle replica
+(tests/oracle_check.py — decontaminate / pii_scrub / repetition_stats are
+registered oracled queries); these tests pin the SEMANTICS on constructed
+edge cases the parquet corpus can't produce, plus the plan shape that
+must survive 100 TB (broadcast gram join, no cartesian products).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from web_scraper_spark.operators import curation as cu
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+# ---------------------------------------------------------------------------
+# decontaminate
+# ---------------------------------------------------------------------------
+
+BENCH_TEXT = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+    "lambda mu nu xi omicron pi"
+)
+
+
+def test_decontaminate_flags_benchmark_copies(spark):
+    rows = [
+        (0, BENCH_TEXT),  # benchmark (doc_id % 25 == 0)
+        (7, "intro words " + BENCH_TEXT + " outro words"),  # contains bench 8-grams
+        (9, "totally unrelated words one two three four five six seven eight nine"),
+    ]
+    out = {r["doc_id"]: r for r in cu.decontaminate(_docs(spark, rows)).collect()}
+    assert set(out) == {7, 9}  # benchmark docs excluded from the corpus output
+    assert out[7]["contaminated"] and out[7]["n_overlap"] > 0
+    # contained copy: every bench 8-gram appears in doc 7 → overlap = bench
+    # gram count = 16 tokens → 9 distinct 8-grams
+    assert out[7]["n_overlap"] == 9
+    assert not out[9]["contaminated"] and out[9]["n_overlap"] == 0
+
+
+def test_decontaminate_short_docs_empty_gramset(spark):
+    rows = [(0, BENCH_TEXT), (1, "too short for an eight gram")]  # 6 tokens < 8
+    out = cu.decontaminate(_docs(spark, rows)).collect()
+    assert len(out) == 1
+    assert out[0]["n_grams"] == 0 and not out[0]["contaminated"]
+
+
+def test_decontaminate_plan_broadcasts_bench_grams(spark):
+    rows = [(i, BENCH_TEXT + f" filler{i}") for i in range(60)]
+    plan = cu.decontaminate(_docs(spark, rows))._jdf.queryExecution().executedPlan().toString()
+    # the benchmark gram inventory must arrive as a broadcast, and nothing
+    # in the plan may degenerate to a cartesian product
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# pii_scrub
+# ---------------------------------------------------------------------------
+
+def test_pii_scrub_counts_and_redacts(spark):
+    rows = [
+        (1, "mail me at a.b-c_d@sub.example.org or root@x.io thanks"),
+        (2, "server 10.0.255.3 then call +84-24-3826-8037 done"),
+        (3, "clean text with no pii at all"),
+    ]
+    out = {r["doc_id"]: r for r in cu.pii_scrub(_docs(spark, rows)).collect()}
+    assert (out[1]["n_emails"], out[1]["n_ips"], out[1]["n_phones"]) == (2, 0, 0)
+    assert "[EMAIL]" in out[1]["scrubbed"] and "@" not in out[1]["scrubbed"]
+    assert (out[2]["n_emails"], out[2]["n_ips"], out[2]["n_phones"]) == (0, 1, 1)
+    assert "[IP]" in out[2]["scrubbed"] and "[PHONE]" in out[2]["scrubbed"]
+    assert (out[3]["n_emails"], out[3]["n_ips"], out[3]["n_phones"]) == (0, 0, 0)
+
+
+def test_pii_scrub_synthesizes_on_mod7(spark):
+    # doc_id % 7 == 0 gets deterministic synthetic PII appended (so the
+    # redaction paths always see real targets on the PII-free corpus)
+    rows = [(14, "base text"), (15, "base text")]
+    out = {r["doc_id"]: r for r in cu.pii_scrub(_docs(spark, rows)).collect()}
+    assert (out[14]["n_emails"], out[14]["n_ips"], out[14]["n_phones"]) == (1, 1, 1)
+    s = out[14]["scrubbed"]
+    assert "[EMAIL]" in s and "[IP]" in s and "[PHONE]" in s
+    assert out[15]["scrubbed"] == "base text"
+
+
+def test_pii_scrub_is_idempotent(spark):
+    rows = [(1, "x@y.com and 1.2.3.4 and +1-555-0100")]
+    first = cu.pii_scrub(_docs(spark, rows)).collect()[0]["scrubbed"]
+    again = cu.pii_scrub(
+        spark.createDataFrame([(1, first)], "doc_id bigint, text string")
+    ).collect()[0]
+    assert again["scrubbed"] == first
+    assert (again["n_emails"], again["n_ips"], again["n_phones"]) == (0, 0, 0)
+
+
+# ---------------------------------------------------------------------------
+# repetition_stats
+# ---------------------------------------------------------------------------
+
+def test_repetition_flags_degenerate_doc(spark):
+    rows = [
+        (1, "spam " * 50),            # one token repeated: everything dups
+        (2, "all distinct words here make a healthy document sample"),
+    ]
+    out = {r["doc_id"]: r for r in cu.repetition_stats(_docs(spark, rows)).collect()}
+    d = out[1]
+    assert d["n_tokens"] == 50
+    assert d["top_token_frac"] == 1.0
+    assert d["top_2gram_frac"] == 1.0 and d["dup_2gram_frac"] == 1.0
+    assert d["dup_3gram_frac"] == 1.0
+    assert d["flagged"]
+    h = out[2]
+    assert h["dup_2gram_frac"] == 0.0 and h["dup_3gram_frac"] == 0.0
+    assert not h["flagged"]
+    # 9 distinct tokens → top_token_frac = 1/9
+    assert h["top_token_frac"] == pytest.approx(round(1 / 9, 6))
+
+
+def test_repetition_short_and_empty_docs(spark):
+    rows = [(1, ""), (2, "one"), (3, "one two")]
+    out = {r["doc_id"]: r for r in cu.repetition_stats(_docs(spark, rows)).collect()}
+    assert out[1]["n_tokens"] == 0 and out[1]["top_token_frac"] == 0.0
+    assert not out[1]["flagged"]
+    assert out[2]["n_tokens"] == 1 and out[2]["top_2gram_frac"] == 0.0
+    assert out[3]["n_tokens"] == 2 and out[3]["top_2gram_frac"] == 1.0
+    assert out[3]["dup_2gram_frac"] == 0.0  # the one 2-gram occurs once
+
+
+def test_repetition_partial_duplication_fractions(spark):
+    # "a b a b c": tokens a×2 b×2 c×1 → top 2/5; 2-grams: ab×2, ba×1, bc×1
+    # → top 2/4, dup 2/4; 3-grams: aba, bab, abc all distinct → dup 0
+    rows = [(1, "a b a b c")]
+    d = cu.repetition_stats(_docs(spark, rows)).collect()[0]
+    assert d["top_token_frac"] == 0.4
+    assert d["top_2gram_frac"] == 0.5
+    assert d["dup_2gram_frac"] == 0.5
+    assert d["dup_3gram_frac"] == 0.0
+    assert d["flagged"]  # top_2gram_frac 0.5 > 0.20

