@@ -237,6 +237,9 @@ HEADLINE = [
     "media_audio",            # real stdlib WAV decode (PCM samples → features)
     "media_video",            # real stdlib Y4M frame sampling (header-stride walk)
     "word_segment",           # corpus-trained maximal-matching segmenter (fit+apply)
+    "decontaminate",          # benchmark 8-gram overlap (broadcast gram join)
+    "pii_scrub",              # counted redaction chains (pure codegen)
+    "repetition_stats",       # Gopher repetition signals (one tagged explode)
 ]
 
 

@@ -1,0 +1,60 @@
+"""Pytest coverage for the registry's oracle contract.
+
+The driver gate only value-checks the FIRST 50 ``queries()`` entries, so
+oracled queries parked past the window (strict sub-plans / SQL-twins of
+in-window queries, demoted in r3 to make room for the curation tier)
+need their value-exactness proven here — same comparison as the driver
+(row count, column-name set, order-insensitive normalized values), same
+code as tests/oracle_check.py.
+
+Also pins the window contract itself: every one of the first 50 entries
+must have an oracle, and every oracle key must name a registered query —
+a regression here silently blanks driver-gate rows.
+"""
+
+import duckdb
+import pytest
+
+import __spark_entry__ as e
+from tests.oracle_check import TABLES, frame_key
+
+SF_DIR = "/root/testdata/sf0.001"
+
+_QS = e.queries()
+_OS = e.oracle_sql()
+BEYOND_WINDOW = [n for n in list(_QS)[50:] if n in _OS]
+
+
+def test_gate_window_contract():
+    names = list(_QS)
+    assert all(n in _OS for n in names[:50]), [
+        n for n in names[:50] if n not in _OS
+    ]
+    assert not set(_OS) - set(_QS)  # no orphan oracle keys
+    # the demoted set is exactly the declared one — adding an oracled query
+    # past the window without test coverage here must fail loudly
+    assert set(BEYOND_WINDOW) == {"minhash_signatures", "simhash", "q1_via_sql"}
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", BEYOND_WINDOW)
+def test_oracled_beyond_window_matches_duckdb(spark, duck, name):
+    df = _QS[name](spark, SF_DIR)
+    scols = df.columns
+    sdata = [tuple(r) for r in df.collect()]
+    rel = duck.execute(_OS[name])
+    ocols = [d[0] for d in rel.description]
+    odata = rel.fetchall()
+    assert sorted(scols) == sorted(ocols)
+    assert len(sdata) == len(odata)
+    assert frame_key(sdata, scols) == frame_key(odata, ocols)
