@@ -240,6 +240,8 @@ HEADLINE = [
     "decontaminate",          # benchmark 8-gram overlap (broadcast gram join)
     "pii_scrub",              # counted redaction chains (pure codegen)
     "repetition_stats",       # Gopher repetition signals (one tagged explode)
+    "keyword_search",         # conjunctive inverted-index search
+    "bm25_topk",              # BM25 top-10/query, decimal-summed scores
 ]
 
 

@@ -33,7 +33,13 @@ def test_gate_window_contract():
     assert not set(_OS) - set(_QS)  # no orphan oracle keys
     # the demoted set is exactly the declared one — adding an oracled query
     # past the window without test coverage here must fail loudly
-    assert set(BEYOND_WINDOW) == {"minhash_signatures", "simhash", "q1_via_sql"}
+    assert set(BEYOND_WINDOW) == {
+        "minhash_signatures",
+        "simhash",
+        "q1_via_sql",
+        "keyword_search",
+        "bm25_topk",
+    }
 
 
 @pytest.fixture(scope="module")

@@ -21,6 +21,7 @@ from web_scraper_spark.operators import analytics as an
 from web_scraper_spark.operators import curation as cu
 from web_scraper_spark.operators import dedup as dd
 from web_scraper_spark.operators import multimodal as mm
+from web_scraper_spark.operators import search as se
 from web_scraper_spark.operators import similarity as sim
 from web_scraper_spark.operators.text import (
     BPE_TOKEN_RE,
@@ -153,6 +154,16 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals (one tagged explode, one shuffle)."""
     return cu.repetition_stats(_docs(spark, sf_dir))
+
+
+def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive inverted-index search (terms pushed into the scan)."""
+    return se.keyword_search(_docs(spark, sf_dir))
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 per query (decimal-summed term scores, rank by query)."""
+    return se.bm25_topk(_docs(spark, sf_dir), k=10)
 
 
 # ---------------------------------------------------------------------------
@@ -956,6 +967,9 @@ def queries() -> dict[str, QueryFn]:
         "minhash_signatures": q_minhash_signatures,
         "simhash": q_simhash,
         "q1_via_sql": q1_via_sql,
+        # r3 search tier: oracled beyond the window (same pytest coverage)
+        "keyword_search": q_keyword_search,
+        "bm25_topk": q_bm25_topk,
         # rows-only (non-SQL: BLAS summation order / ML fit / UDF-stateful /
         # crawl fixpoint) — pytest-verified
         # (equality-to-oracled-twin / recall / simulator-equivalence).
@@ -1001,6 +1015,8 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": cu.decontaminate_sql(),
         "pii_scrub": cu.pii_scrub_sql(),
         "repetition_stats": cu.repetition_stats_sql(),
+        "keyword_search": se.keyword_search_sql(),
+        "bm25_topk": se.bm25_topk_sql(k=10),
         "q3_shipping_priority": f"""
             SELECT l_orderkey, o_orderdate, o_orderpriority,
                    {an.dec_sum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
