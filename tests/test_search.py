@@ -65,6 +65,9 @@ def test_bm25_plan_shape(spark):
     assert "WindowGroupLimit [query" in plan
     assert "windowspecdefinition(query" in plan
     for line in plan.splitlines():
-        if "Window [" in line:
-            assert "query" in line  # every Window node is query-partitioned
+        if "Window [" in line:  # every Window node is key-partitioned:
+            # rank by query, document-frequency count by term
+            assert "windowspecdefinition(query" in line or (
+                "windowspecdefinition(term" in line
+            )
     assert "CartesianProduct" not in plan

@@ -57,9 +57,16 @@ def _all_terms() -> list[str]:
 def _postings(docs: DataFrame) -> DataFrame:
     """(doc_id, dl, term, tf) for query terms only. dl rides the groupBy
     key (functionally dependent on doc_id) so no separate doc-length join
-    is needed."""
+    is needed.
+
+    The input is fanned out first: a small-SF table is one parquet file,
+    and a partial aggregate fused above the token Generate in a single
+    task measured 13 s at sf0.1 vs 1.7 s fanned (operators/dedup._fan_out
+    — metadata-only probe, no-op on a production multi-file scan)."""
+    from web_scraper_spark.operators.dedup import _fan_out
+
     tok = tokens(F.lower(clean_text(F.col("text"))))
-    base = docs.select(
+    base = _fan_out(docs).select(
         "doc_id", F.size(tok).alias("dl"), F.explode(tok).alias("term")
     )
     return (
@@ -143,10 +150,14 @@ def bm25_topk(docs: DataFrame, k: int = 10) -> DataFrame:
         F.count("*").alias("n_docs"), F.sum("dl").cast("bigint").alias("total_dl")
     )
     tf = _postings(docs)
-    df_t = tf.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    # document frequency: tf has exactly one row per (doc, term), so a
+    # count over a term-partitioned window IS df — one shuffle of the
+    # (already tiny) postings frame instead of recomputing the whole
+    # explode subtree for a separate df aggregate + join
+    df_t = F.count("*").over(Window.partitionBy("term"))
     scored = (
-        tf.join(F.broadcast(_query_df(spark)), on="term")
-        .join(F.broadcast(df_t), on="term")
+        tf.withColumn("df", df_t)
+        .join(F.broadcast(_query_df(spark)), on="term")
         .crossJoin(F.broadcast(stats))
     )
     # expression structure mirrors the SQL twin operation-for-operation
