@@ -1,0 +1,83 @@
+"""PageRank + cluster representatives: equality to an independent numpy
+power iteration, partition invariance, dangling-mass handling."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from web_scraper_spark.operators.graphalgo import cluster_representatives, pagerank
+
+
+def numpy_pagerank(edges, n_iter=10, damping=0.85):
+    """Independent twin: same fixed-iteration scheme, same dangling rule."""
+    nodes = sorted({u for e in edges for u in e})
+    idx = {u: i for i, u in enumerate(nodes)}
+    n = len(nodes)
+    deg = np.zeros(n)
+    for s, _ in set(edges):
+        deg[idx[s]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        contrib = np.zeros(n)
+        for s, d in set(edges):
+            contrib[idx[d]] += r[idx[s]] / deg[idx[s]]
+        dm = r[deg == 0].sum()
+        r = (1.0 - damping) / n + damping * (contrib + dm / n)
+    return {u: r[idx[u]] for u in nodes}
+
+
+EDGES = [
+    (1, 2), (2, 1), (2, 3), (3, 1), (4, 3), (4, 1),
+    (5, 4), (1, 5), (6, 1),  # 6 has out-edge; 7 below is dangling
+    (3, 7),
+]
+
+
+def _edges_df(spark, edges, parts=None):
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    return df.repartition(parts) if parts else df
+
+
+def test_pagerank_matches_numpy_and_sums_to_one(spark):
+    got = {r["node"]: r["rank"] for r in pagerank(_edges_df(spark, EDGES)).collect()}
+    want = numpy_pagerank(EDGES)
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u] == pytest.approx(want[u], abs=2e-9)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+    # node 1 is the hub (most inlinks incl. from the hub cycle): top rank
+    assert max(got, key=got.get) == 1
+
+
+def test_pagerank_partition_invariant(spark):
+    a = {r["node"]: r["rank"] for r in pagerank(_edges_df(spark, EDGES, 2)).collect()}
+    b = {r["node"]: r["rank"] for r in pagerank(_edges_df(spark, EDGES, 7)).collect()}
+    assert a == b  # rounded-9 ranks identical across partitionings
+
+
+def test_cluster_representatives_pick_hub(spark):
+    # cluster {1,2,3,4}: star around 1 (+ chain), cluster {8,9}: one pair
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (3, 4), (8, 9)], "doc_a bigint, doc_b bigint"
+    )
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 1), (8, 8), (9, 8)],
+        "doc_id bigint, cluster_id bigint",
+    )
+    out = {r["cluster"]: r for r in cluster_representatives(pairs, labels).collect()}
+    assert set(out) == {1, 8}
+    assert out[1]["rep_doc_id"] == 1  # the star hub is the most central
+    assert out[1]["n_members"] == 4
+    assert out[8]["rep_doc_id"] == 8  # symmetric pair: tie → smaller id
+    assert out[8]["n_members"] == 2
+
+
+def test_dedup_centrality_registered(spark, sf_dir):
+    from web_scraper_spark.queries import q_dedup_centrality, queries
+
+    assert queries()["dedup_centrality"] is q_dedup_centrality
+    out = q_dedup_centrality(spark, sf_dir).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["n_members"] >= 2  # every cluster has at least one pair
+        assert r["rep_rank"] is None or r["rep_rank"] > 0
