@@ -236,6 +236,7 @@ HEADLINE = [
     "media_features",
     "media_audio",            # real stdlib WAV decode (PCM samples → features)
     "media_video",            # real stdlib Y4M frame sampling (header-stride walk)
+    "media_jpeg",             # real baseline-JPEG decode (entropy + IDCT, numpy)
     "word_segment",           # corpus-trained maximal-matching segmenter (fit+apply)
     "decontaminate",          # benchmark 8-gram overlap (broadcast gram join)
     "pii_scrub",              # counted redaction chains (pure codegen)

@@ -850,6 +850,74 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("media_id", "frame_no", "ts_s", F.length("frame").alias("n_bytes"))
 
 
+# tests/data/python.jpg — the CPython test-suite imghdrdata fixture (PSF
+# license): a real baseline 4:2:0 JPEG, embedded so the registered query
+# needs no filesystem fixture path. Conformance vs the raw-pixel twin
+# (python.ppm) is asserted in tests/test_jpeg.py.
+_JPEG_FIXTURE_B64 = (
+    "/9j/4AAQSkZJRgABAQEAAQABAAD/2wBDAAMCAgICAgMCAgIDAwMDBAYEBAQEBAgGBgUGCQgK"
+    "CgkICQkKDA8MCgsOCwkJDRENDg8QEBEQCgwSExIQEw8QEBD/2wBDAQMDAwQDBAgEBAgQCwkL"
+    "EBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBD/wAAR"
+    "CAAQABADASIAAhEBAxEB/8QAFgABAQEAAAAAAAAAAAAAAAAABwQF/8QAJBAAAQQBBAICAwAA"
+    "AAAAAAAAAQIDBAYFBwgSExEiABQJMTL/xAAVAQEBAAAAAAAAAAAAAAAAAAAABv/EACMRAAEC"
+    "BQMFAAAAAAAAAAAAAAECEQMEBQYhABIxFRZhgeH/2gAMAwEAAhEDEQA/ABSm0mobc8HmExLU"
+    "lRzzEWPkJWW+ulrsaUVAseUgslSlH9LKuPryIKuWPZdskzXmm3fX5m2nF4GlVxx/HOpx4ks5"
+    "1+MiU/Iaad7UcUo4tILoS4kqcWkezS0hO/HvuRp0rO6hWnWO1UisZVuFi4GFeyEpmGepa5S5"
+    "SWVPuciFKRFLgSrwetnyPIB+Vb4N9mKhQMzo5po9XLdDs9d6ZVix2VEhiL9kuNPxw2gEKcDQ"
+    "/rs8AuA8VAe0vdl7VOYn+27flGAUgmITjbhSmCg3BYlyeWDkMolvw4KOp1KM6iCNvngZHwet"
+    "f//Z"
+)
+
+
+def q_media_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real compressed-image decode (rows-only): 8 rows carrying a
+    baseline JPEG payload, decoded by operators/jpegcodec.jpeg_decode
+    (full entropy decode + IDCT, pure numpy) inside one mapInPandas
+    pass; per-image stats come from ACTUAL pixels. Rows-only: no SQL
+    engine decodes JPEG; spec conformance is pinned against independent
+    raw ground truth in tests/test_jpeg.py."""
+    import base64
+
+    payload = base64.b64decode(_JPEG_FIXTURE_B64)
+    media = spark.createDataFrame(
+        [(i, bytearray(payload)) for i in range(8)],
+        "media_id bigint, payload binary",
+    )
+
+    def run(it):
+        import pandas as pd
+
+        from web_scraper_spark.operators.jpegcodec import jpeg_decode
+
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = jpeg_decode(bytes(r.payload)).astype("float64")
+                luma = 0.299 * arr[..., 0] + 0.587 * arr[..., 1] + 0.114 * arr[..., 2]
+                rows.append(
+                    (
+                        r.media_id, arr.shape[1], arr.shape[0],
+                        round(float(luma.mean()), 4),
+                        round(float(arr[..., 0].mean()), 4),
+                        round(float(arr[..., 1].mean()), 4),
+                        round(float(arr[..., 2].mean()), 4),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "mean_luma",
+                    "mean_r", "mean_g", "mean_b",
+                ],
+            )
+
+    return media.mapInPandas(
+        run,
+        "media_id bigint, width int, height int, mean_luma double, "
+        "mean_r double, mean_g double, mean_b double",
+    )
+
+
 def q_word_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained word segmentation (the ViTokenizer-tier model,
     reference ConnectAndSave.py:81): fit mines adjacent 2-/3-gram
@@ -1003,6 +1071,7 @@ def queries() -> dict[str, QueryFn]:
         "media_audio": q_media_audio,
         "media_frames": q_media_frames,
         "media_video": q_media_video,
+        "media_jpeg": q_media_jpeg,
         "word_segment": q_word_segment,
         "robots_parse": q_robots_parse,
         "incremental_dedup": q_incremental_dedup,
