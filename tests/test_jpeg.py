@@ -3,7 +3,7 @@
 Ground truth: the CPython test-suite fixture pair python.jpg /
 python.ppm (Lib/test/imghdrdata, PSF-licensed; the same 16×16 logo as a
 baseline 4:2:0 JPEG and as raw binary-PPM pixels), vendored under
-tests/data/. Comparing the JPEG decode against the INDEPENDENT raw
+tests/data/ (2x2.jpg is the IPython test-suite fixture, BSD-licensed). Comparing the JPEG decode against the INDEPENDENT raw
 pixels bounds the decoder by real quantization distance — a
 self-consistent-but-nonstandard decoder cannot pass these bounds.
 """

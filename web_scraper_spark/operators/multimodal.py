@@ -16,16 +16,18 @@ ALL THREE media kinds now decode for REAL under ``fake=False``:
 PNG pixels (operators/pngcodec.py — stdlib zlib + filter
 reconstruction), baseline JPEG pixels (operators/jpegcodec.py — full
 entropy decode + IDCT, conformance-tested against an independent raw
-ground truth), WAV samples (operators/wavcodec.py — stdlib RIFF/PCM
-parse), and Y4M video frames (operators/y4mcodec.py — YUV4MPEG2 header
-walk + planar 4:2:0 frame strides). ``decode_media`` derives features
-from actual pixels/samples/planes, ``resize_images`` resizes real
-rasters (PNG and JPEG), and ``sample_frames`` finds REAL frame
-boundaries from the decoded stream header. The remaining compressed
-formats (progressive JPEG/mp3/mp4) stay STUBBED (no PIL/ffmpeg in this
-container): on those payloads fake=False raises NotImplementedError,
-and fake=True emits a deterministic md5-derived stand-in with the exact
-schema/batch shape the real decoder would produce.
+ground truth), GIF pixels (operators/gifcodec.py — LZW + palette,
+pixel-tight conformance on the same ground truth), WAV samples
+(operators/wavcodec.py — stdlib RIFF/PCM parse), and Y4M video frames
+(operators/y4mcodec.py — YUV4MPEG2 header walk + planar 4:2:0 frame
+strides). ``decode_media`` derives features from actual pixels/samples/
+planes, ``resize_images`` resizes real rasters (PNG/JPEG/GIF), and
+``sample_frames`` finds REAL frame boundaries from the decoded stream
+header. The remaining compressed formats (progressive JPEG/mp3/mp4)
+stay STUBBED (no PIL/ffmpeg in this container): on those payloads
+fake=False raises NotImplementedError, and fake=True emits a
+deterministic md5-derived stand-in with the exact schema/batch shape
+the real decoder would produce.
 """
 
 from __future__ import annotations
@@ -336,6 +338,7 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
+        from web_scraper_spark.operators.gifcodec import gif_decode
         from web_scraper_spark.operators.jpegcodec import jpeg_decode
         from web_scraper_spark.operators.pngcodec import png_decode
         from web_scraper_spark.operators.wavcodec import audio_features, wav_decode
@@ -348,12 +351,18 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
                 if fake:
                     digest = hashlib.md5(payload).digest()
                     fv = [round(digest[i] / 255.0, 6) for i in range(FEATURE_DIM)]
-                elif payload.startswith(b"\x89PNG") or payload.startswith(b"\xff\xd8"):
-                    arr = (
-                        png_decode(payload)
-                        if payload.startswith(b"\x89PNG")
-                        else jpeg_decode(payload)
-                    ).astype("float64")
+                elif (
+                    payload.startswith(b"\x89PNG")
+                    or payload.startswith(b"\xff\xd8")
+                    or payload.startswith(b"GIF8")
+                ):
+                    if payload.startswith(b"\x89PNG"):
+                        rgb = png_decode(payload)
+                    elif payload.startswith(b"\xff\xd8"):
+                        rgb = jpeg_decode(payload)
+                    else:
+                        rgb = gif_decode(payload)
+                    arr = rgb.astype("float64")
                     h, w = arr.shape[:2]
                     fv = [
                         *(round(float(arr[:, :, c].mean()) / 255.0, 6) for c in range(3)),
@@ -368,11 +377,11 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
                     fv = video_features(payload, dim=FEATURE_DIM)
                 else:
                     raise NotImplementedError(
-                        "only PNG, baseline JPEG, WAV and Y4M decode are "
-                        "real in this container (stdlib pngcodec/jpegcodec/"
-                        "wavcodec/y4mcodec); other compressed formats need "
-                        "PIL/ffmpeg/librosa — pass fake=True for the "
-                        "deterministic stub"
+                        "only PNG, baseline JPEG, GIF, WAV and Y4M decode "
+                        "are real in this container (stdlib pngcodec/"
+                        "jpegcodec/gifcodec/wavcodec/y4mcodec); other "
+                        "compressed formats need PIL/ffmpeg/librosa — pass "
+                        "fake=True for the deterministic stub"
                     )
                 feats.append(fv)
                 ids.append(row.media_id)
@@ -402,6 +411,7 @@ def resize_images(
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
+        from web_scraper_spark.operators.gifcodec import gif_decode
         from web_scraper_spark.operators.jpegcodec import jpeg_decode
         from web_scraper_spark.operators.pngcodec import png_decode, resize_nearest
 
@@ -416,11 +426,14 @@ def resize_images(
                     raster = resize_nearest(png_decode(payload), width, height).tobytes()
                 elif payload.startswith(b"\xff\xd8"):
                     raster = resize_nearest(jpeg_decode(payload), width, height).tobytes()
+                elif payload.startswith(b"GIF8"):
+                    raster = resize_nearest(gif_decode(payload), width, height).tobytes()
                 else:
                     raise NotImplementedError(
-                        "only PNG and baseline JPEG resize are real in this "
-                        "container (stdlib pngcodec/jpegcodec); other formats "
-                        "need PIL — pass fake=True for the deterministic stub"
+                        "only PNG, baseline JPEG and GIF resize are real in "
+                        "this container (stdlib pngcodec/jpegcodec/gifcodec); "
+                        "other formats need PIL — pass fake=True for the "
+                        "deterministic stub"
                     )
                 ids.append(row.media_id)
                 payloads.append(raster)
