@@ -55,3 +55,76 @@ def test_gif_through_decode_media(spark):
     assert row["n_bytes"] == len(payload)
     assert row["features"][6] == round(16 / 4096.0, 6)
     assert all(0.0 <= v <= 1.0 for v in row["features"])
+
+
+# ---------------------------------------------------------------------------
+# LZW property: an in-test spec encoder must be inverted EXACTLY
+# ---------------------------------------------------------------------------
+
+def _lzw_encode(min_code_size, indices):
+    """Reference GIF-LZW encoder (always emits clear first, end last,
+    grows code width when the NEXT code would not fit — the mirror of the
+    decoder's growth rule)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out_bits = []
+    width = min_code_size + 1
+
+    def emit(code):
+        for b in range(width):
+            out_bits.append((code >> b) & 1)  # LSB-first
+
+    table = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    emit(clear)
+    prev = ()
+    for sym in indices:
+        cur = prev + (sym,)
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev])
+        table[cur] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        if next_code > 4095:
+            emit(clear)
+            table = {(i,): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code_size + 1
+        prev = (sym,)
+    if prev:
+        emit(table[prev])
+    emit(end)
+    data = bytearray()
+    for i in range(0, len(out_bits), 8):
+        byte = 0
+        for j, bit in enumerate(out_bits[i:i + 8]):
+            byte |= bit << j
+        data.append(byte)
+    return bytes(data)
+
+
+def test_lzw_roundtrip_random_streams():
+    import random
+
+    from web_scraper_spark.operators.gifcodec import _lzw_decode
+
+    rng = random.Random(42)
+    for min_code_size in (2, 4, 7):
+        n_syms = 1 << min_code_size
+        for trial in range(6):
+            n = rng.choice([1, 17, 256, 4096])
+            # mixtures of runs (dictionary-friendly) and noise (growth-heavy)
+            stream = []
+            while len(stream) < n:
+                if rng.random() < 0.5:
+                    stream.extend([rng.randrange(n_syms)] * rng.randint(1, 40))
+                else:
+                    stream.extend(rng.randrange(n_syms) for _ in range(rng.randint(1, 20)))
+            stream = stream[:n]
+            encoded = _lzw_encode(min_code_size, stream)
+            assert _lzw_decode(min_code_size, encoded) == stream, (
+                min_code_size, trial, n,
+            )
