@@ -128,3 +128,47 @@ def test_lzw_roundtrip_random_streams():
             assert _lzw_decode(min_code_size, encoded) == stream, (
                 min_code_size, trial, n,
             )
+
+
+def test_decode_media_mixed_format_batch(spark):
+    """All five real decoders dispatch correctly inside ONE Arrow batch
+    (PNG, baseline JPEG, GIF, WAV, Y4M in a single mapInPandas call)."""
+    import numpy as np
+
+    from web_scraper_spark.operators.multimodal import (
+        decode_media,
+        synth_waveform,
+        synth_raster,
+    )
+    from web_scraper_spark.operators.pngcodec import png_encode
+    from web_scraper_spark.operators.wavcodec import wav_encode
+
+    png = png_encode(synth_raster(7, 12, 9))
+    wav = wav_encode(synth_waveform(7, 800, 1), 8000)
+    # minimal 1-frame Y4M: header + FRAME + 4:2:0 planes
+    w, h = 8, 6
+    y4m = (
+        f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420\n".encode()
+        + b"FRAME\n"
+        + bytes(w * h) + bytes((w // 2) * (h // 2)) * 2
+    )
+    rows = [
+        (1, "image", bytearray(png)),
+        (2, "image", bytearray(_fixture("python.jpg"))),
+        (3, "image", bytearray(_fixture("python.gif"))),
+        (4, "audio", bytearray(wav)),
+        (5, "video", bytearray(y4m)),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id bigint, kind string, payload binary"
+    ).coalesce(1)  # one partition → one Arrow batch through the dispatch chain
+    got = {r["media_id"]: r for r in decode_media(media, fake=False).collect()}
+    assert set(got) == {1, 2, 3, 4, 5}
+    for mid, (_, _, payload) in zip((1, 2, 3, 4, 5), rows):
+        assert got[mid]["n_bytes"] == len(payload)
+        assert len(got[mid]["features"]) == 8
+        assert all(np.isfinite(v) for v in got[mid]["features"])
+    # image feature layout: dims ride slots 6/7
+    assert got[1]["features"][6] == round(12 / 4096.0, 6)
+    assert got[2]["features"][6] == round(16 / 4096.0, 6)
+    assert got[3]["features"][6] == round(16 / 4096.0, 6)
