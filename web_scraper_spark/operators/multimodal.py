@@ -17,7 +17,9 @@ PNG pixels (operators/pngcodec.py — stdlib zlib + filter
 reconstruction), baseline JPEG pixels (operators/jpegcodec.py — full
 entropy decode + IDCT, conformance-tested against an independent raw
 ground truth), GIF pixels (operators/gifcodec.py — LZW + palette,
-pixel-tight conformance on the same ground truth), WAV samples
+pixel-tight conformance on the same ground truth), BMP pixels
+(operators/bmpcodec.py — bit-for-bit EXACT vs the ground truth;
+24/32 bpp + bitfields + palette), WAV samples
 (operators/wavcodec.py — stdlib RIFF/PCM parse), and Y4M video frames
 (operators/y4mcodec.py — YUV4MPEG2 header walk + planar 4:2:0 frame
 strides). ``decode_media`` derives features from actual pixels/samples/
@@ -338,6 +340,7 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
+        from web_scraper_spark.operators.bmpcodec import bmp_decode
         from web_scraper_spark.operators.gifcodec import gif_decode
         from web_scraper_spark.operators.jpegcodec import jpeg_decode
         from web_scraper_spark.operators.pngcodec import png_decode
@@ -355,13 +358,16 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
                     payload.startswith(b"\x89PNG")
                     or payload.startswith(b"\xff\xd8")
                     or payload.startswith(b"GIF8")
+                    or payload.startswith(b"BM")
                 ):
                     if payload.startswith(b"\x89PNG"):
                         rgb = png_decode(payload)
                     elif payload.startswith(b"\xff\xd8"):
                         rgb = jpeg_decode(payload)
-                    else:
+                    elif payload.startswith(b"GIF8"):
                         rgb = gif_decode(payload)
+                    else:
+                        rgb = bmp_decode(payload)
                     arr = rgb.astype("float64")
                     h, w = arr.shape[:2]
                     fv = [
