@@ -222,6 +222,7 @@ HEADLINE = [
     "embedding_near_pairs",
     "near_pairs_blocked",
     "dedup_clusters",
+    "dedup_centrality",       # PageRank reps: dangling mass rides the checkpoint job
     "corpus_filter",
     "incremental_dedup",      # delta-vs-corpus: only the 10% batch is sketched
     "ann_brute_topk",

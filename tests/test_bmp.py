@@ -52,3 +52,14 @@ def test_bmp_errors():
     struct.pack_into("<I", data, 30, 1)  # BI_RLE8
     with pytest.raises(BmpError, match="compression"):
         bmp_decode(bytes(data))
+
+
+def test_bmp_truncated_raises_bmperror():
+    """ADVICE r3: truncation must raise BmpError, not a numpy ValueError."""
+    full = _fixture("python.bmp")
+    with pytest.raises(BmpError, match="truncated"):
+        bmp_decode(full[: len(full) - 40])
+    arr = np.zeros((4, 4, 3), np.uint8)
+    whole = _bmp24(arr)
+    with pytest.raises(BmpError, match="truncated"):
+        bmp_decode(whole[:-5])

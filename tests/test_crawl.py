@@ -457,3 +457,17 @@ def test_bloom_enabled_mid_crawl_no_recrawl(spark):
         shutil.rmtree(d_ref, ignore_errors=True)
         shutil.rmtree(d_mid, ignore_errors=True)
         pages.unpersist()
+
+
+def test_crawl_fetch_log_query_leaves_no_cached_frames(spark):
+    """r3 VERDICT item 7: q_crawl_fetch_log must not leak a
+    session-lifetime CacheManager entry (its pages frame is an RDD-scoped
+    localCheckpoint now, freed by the ContextCleaner when dropped)."""
+    from web_scraper_spark.queries import q_crawl_fetch_log
+
+    spark.catalog.clearCache()  # other tests' caches recompute on demand
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty()
+    out = q_crawl_fetch_log(spark, "unused")
+    assert out.count() > 0
+    assert cm.isEmpty()  # no df.cache() survived the query

@@ -172,3 +172,17 @@ def test_decode_media_mixed_format_batch(spark):
     assert got[1]["features"][6] == round(12 / 4096.0, 6)
     assert got[2]["features"][6] == round(16 / 4096.0, 6)
     assert got[3]["features"][6] == round(16 / 4096.0, 6)
+
+
+def test_gif_out_of_screen_descriptor_raises_giferror():
+    """ADVICE r3: an image descriptor exceeding the logical screen must
+    raise GifError, not a numpy broadcast ValueError."""
+    data = bytearray(_fixture("python.gif"))
+    # image descriptor block: 0x2C, ix, iy, iw, ih (all <u2)
+    pos = data.find(0x2C)
+    # python.gif's descriptor starts at the first 0x2C separator; bump iy
+    import struct as _s
+
+    _s.pack_into("<H", data, pos + 3, 9)  # iy=9 with ih=16 > sh=16
+    with pytest.raises(GifError, match="exceeds"):
+        gif_decode(bytes(data))

@@ -92,3 +92,29 @@ def test_media_jpeg_query_registered(spark):
             ),
             abs=8.0,
         )
+
+
+def test_jpeg_fill_bytes_standalone_markers_and_truncation():
+    """ADVICE r3: 0xFF fill padding and length-less markers (TEM) between
+    segments must not desync the walk; malformed streams always surface
+    JpegError, never raw KeyError/IndexError."""
+    import pytest
+
+    from web_scraper_spark.operators.jpegcodec import JpegError, jpeg_decode
+
+    full = _fixture("python.jpg")
+    truth = jpeg_decode(full)
+    # inject fill bytes + a TEM (FF01) standalone marker right after SOI
+    padded = full[:2] + b"\xff\xff\xff\x01" + full[2:]
+    assert (jpeg_decode(padded) == truth).all()
+    # truncated mid-stream: must be JpegError (wrapped, not IndexError)
+    for cut in (3, 20, len(full) // 2):
+        with pytest.raises(JpegError):
+            jpeg_decode(full[:cut])
+    # corrupt DHT selector (missing Huffman table id): JpegError, not KeyError
+    sos = full.find(b"\xff\xda")
+    assert sos > 0
+    broken = bytearray(full)
+    broken[sos + 6] = 0x77  # bogus dc/ac table ids for component 1
+    with pytest.raises(JpegError):
+        jpeg_decode(bytes(broken))

@@ -48,13 +48,27 @@ def bmp_decode(data: bytes) -> np.ndarray:
     h = abs(h_raw)
     if comp not in (0, 3):
         raise BmpError(f"compression {comp} unsupported (only BI_RGB/BI_BITFIELDS)")
+    if w <= 0 or h == 0:
+        raise BmpError(f"invalid dimensions {w}x{h_raw}")
+
+    def _check_bounds(stride: int) -> None:
+        # a truncated file must raise BmpError, not an opaque numpy
+        # reshape/stack ValueError (ADVICE r3)
+        if pix_off + h * stride > len(data):
+            raise BmpError(
+                f"truncated pixel data: need {pix_off + h * stride} bytes, "
+                f"have {len(data)}"
+            )
+
     if bpp == 8:
         n_colors = struct.unpack("<I", data[46:50])[0] or 256
         pal_off = 14 + hdr_size
-        pal = np.frombuffer(data[pal_off:pal_off + 4 * n_colors], np.uint8).reshape(
-            n_colors, 4
-        )[:, :3][:, ::-1]  # BGRX → RGB
+        pal_raw = np.frombuffer(data[pal_off:pal_off + 4 * n_colors], np.uint8)
+        if len(pal_raw) < 4 * n_colors:
+            raise BmpError("truncated palette")
+        pal = pal_raw.reshape(n_colors, 4)[:, :3][:, ::-1]  # BGRX → RGB
         stride = (w + 3) & ~3
+        _check_bounds(stride)
         rows = [
             pal[np.frombuffer(data[pix_off + r * stride:][:w], np.uint8)]
             for r in range(h)
@@ -62,6 +76,7 @@ def bmp_decode(data: bytes) -> np.ndarray:
     elif bpp in (24, 32):
         nb = bpp // 8
         stride = (w * nb + 3) & ~3
+        _check_bounds(stride)
         if bpp == 32 and comp == 3:
             rm, gm, bm = struct.unpack("<III", data[54:66])
         else:

@@ -826,7 +826,28 @@ def embedding_near_pairs_sql(table: str = "embeddings", tau: float = 0.95) -> st
 # Dedup clusters — connected components over the near-dup pair graph
 # ---------------------------------------------------------------------------
 
-def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def undirected_edges(pairs: DataFrame) -> DataFrame:
+    """Materialized DISTINCT undirected (src, dst) edge frame for a
+    (doc_a, doc_b) pair list — the shared input of ``dedup_clusters`` and
+    ``graphalgo.cluster_representatives`` (build it once when composing
+    the two, e.g. queries.q_dedup_centrality). Eager localCheckpoint: the
+    first consumer job scans edges several times and a lazy cache races
+    itself (the upstream LSH banding + verify pipeline would execute up to
+    3x inside iteration 1); storage is RDD-scoped, no unpersist
+    bookkeeping."""
+    return (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+
+def dedup_clusters(
+    pairs: DataFrame, max_iter: int = 20, edges: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, cluster_id) — connected components of the near-dup graph;
     cluster_id = min doc_id reachable. The step that turns pairwise
     near-dups into keep/drop decisions (keeper = cluster_id row).
@@ -850,20 +871,13 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     Cache discipline: every intermediate label table is unpersisted before
     return; ``edges`` and the result use ``localCheckpoint(eager=True)``,
     whose storage is RDD-scoped (freed by the ContextCleaner when the
-    frames are dropped) instead of a session-lifetime CacheManager entry."""
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-        )
-        .distinct()
-        # eager localCheckpoint, not lazy cache: the first loop job scans
-        # edges three times (neighbor join, label init, jump) and a lazy
-        # cache races itself — the upstream pairs pipeline (LSH banding +
-        # verify) would execute up to 3x inside iteration 1. Materialize
-        # once; storage is RDD-scoped so no unpersist bookkeeping.
-        .localCheckpoint(eager=True)
-    )
+    frames are dropped) instead of a session-lifetime CacheManager entry.
+
+    Pass ``edges=undirected_edges(pairs)`` to share the materialized edge
+    frame with other consumers of the same pair graph (e.g.
+    graphalgo.cluster_representatives in queries.q_dedup_centrality)."""
+    if edges is None:
+        edges = undirected_edges(pairs)
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()

@@ -133,6 +133,14 @@ def _decode_indexed(data: bytes) -> tuple[np.ndarray, np.ndarray, int | None]:
                 de = np.empty_like(grid)
                 de[order] = grid
                 grid = de
+            if ix + iw > sw or iy + ih > sh:
+                # out-of-screen descriptor would silently truncate via
+                # numpy slice broadcasting (shape mismatch ValueError) —
+                # raise the module error type instead (ADVICE r3)
+                raise GifError(
+                    f"image descriptor {iw}x{ih}@({ix},{iy}) exceeds "
+                    f"logical screen {sw}x{sh}"
+                )
             canvas = np.full((sh, sw), bg_index, np.int32)
             canvas[iy:iy + ih, ix:ix + iw] = grid
             return canvas, ct, transparent

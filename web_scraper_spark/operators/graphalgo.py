@@ -9,8 +9,12 @@ Spark shape that survives a 100 TB link graph:
   re-joined each iteration — the per-iteration cost is one join on src +
   one groupBy on dst, both shuffling only (node, rank) pairs, never the
   raw edge payload;
-- dangling mass (nodes with no out-edges) is redistributed uniformly via
-  a 1-row aggregate broadcast — no driver collect of node state;
+- dangling mass (nodes with no out-edges) is folded INTO the rank-update
+  job: iteration i's eager localCheckpoint carries an ``Observation`` of
+  the live mass Σ rank(has_out), and dm_i = 1 − live (the rank vector
+  sums to 1 by construction), so iteration i+1 uses a plain Python float
+  literal — ONE Spark job per iteration, no anti-join aggregate, no
+  per-iteration broadcast build (r3 VERDICT item 1);
 - a FIXED iteration count (no floating-point convergence test) keeps the
   result deterministic across partitionings and engines; ranks are
   rounded at the END only.
@@ -27,7 +31,7 @@ this is public PageRank (Brin & Page 1998) in DataFrame form.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 
@@ -37,65 +41,93 @@ def pagerank(
     damping: float = 0.85,
     src: str = "src",
     dst: str = "dst",
+    edges_distinct: bool = False,
 ) -> DataFrame:
     """PageRank over a directed edge list → (node, rank), sum(rank) == 1.
 
-    Fixed ``n_iter`` power iterations. Each iteration is one join of the
-    rank vector against the cached out-degree edges plus one groupBy on
-    dst; dangling mass and the teleport term are scalar broadcasts.
+    Fixed ``n_iter`` power iterations, ONE Spark job each: the rank-update
+    plan (join of the rank vector against the cached out-degree adjacency,
+    groupBy dst, teleport + dangling redistribution) materializes via an
+    eager ``localCheckpoint`` whose ``Observation`` reports the live mass
+    Σ rank(nodes with out-edges); the next iteration's dangling mass is
+    the Python float ``1 − live`` (exact because each update renormalizes:
+    Σ rank_{i+1} = (1−d) + d·(Σ in_rank + dm) = 1). No per-iteration
+    anti-join, no broadcast build. Pass ``edges_distinct=True`` when the
+    caller already deduplicated (src, dst) to skip the extra shuffle.
+
     Returns ranks rounded to 9 dp (cross-partitioning stable well above
     double noise; exact determinism for a FIXED partitioning is already
     given by Spark's pairwise-sum tree, and the rounding makes the
     equality-to-numpy test partition-invariant).
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not edges_distinct:
+        e = e.distinct()
+    out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    # nodes carries has_out so every iteration's observation can split
+    # live vs dangling mass without a second aggregate; its own
+    # materialization job doubles as the (n_nodes, n_out) scalar read.
+    # localCheckpoint, not cache: RDD-scoped storage, no unpersist
+    # bookkeeping, and the final lazy iteration can safely reference it
+    # after this function returns.
+    setup_obs = Observation()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .cache()
+        .join(
+            out_deg.select(F.col("src").alias("node"), F.lit(1).alias("has_out")),
+            on="node",
+            how="left",
+        )
+        .select("node", F.coalesce(F.col("has_out"), F.lit(0)).alias("has_out"))
+        .observe(setup_obs, F.count("*").alias("n"), F.sum("has_out").alias("n_out"))
+        .localCheckpoint(eager=True)
     )
-    n_nodes = nodes.count()  # scalar: the one driver-side value PageRank needs
-    out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
-    adj = e.join(out_deg, on="src").cache()
-    adj.count()  # materialize once; iterations re-read the cache
+    stats = setup_obs.get
+    n_nodes, n_out = stats["n"], stats["n_out"] or 0
+    adj = e.join(out_deg, on="src").localCheckpoint(eager=True)
 
-    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
-    for _ in range(n_iter):
+    base = (1.0 - damping) / n_nodes
+    dm = (n_nodes - n_out) / n_nodes  # dangling mass of the uniform init
+    ranks = nodes.select("node", "has_out", F.lit(1.0 / n_nodes).alias("rank"))
+    for it in range(n_iter):
         contrib = (
             adj.join(ranks, adj.src == ranks.node)
             .select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("in_rank"))
         )
-        # dangling mass: rank sitting on nodes with no out-edges
-        dangling = (
-            ranks.join(out_deg, ranks.node == out_deg.src, "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        ranks = nodes.join(contrib, on="node", how="left").select(
+            "node",
+            "has_out",
+            (
+                F.lit(base)
+                + F.lit(damping)
+                * (F.coalesce(F.col("in_rank"), F.lit(0.0)) + F.lit(dm / n_nodes))
+            ).alias("rank"),
         )
-        base = (1.0 - damping) / n_nodes
-        ranks = (
-            nodes.join(contrib, on="node", how="left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("in_rank"), F.lit(0.0)) + F.col("dm") / n_nodes)
-                ).alias("rank"),
-            )
+        if it == n_iter - 1:
+            # the last update's dangling mass feeds nothing — stay lazy
+            # (one join+agg level above the checkpointed ranks_{n-1};
+            # the caller's consuming action materializes it exactly once)
+            break
+        obs = Observation()
+        ranks = ranks.observe(
+            obs,
+            F.sum(
+                F.when(F.col("has_out") == 1, F.col("rank")).otherwise(F.lit(0.0))
+            ).alias("live"),
             # sever lineage each iteration (same discipline as
             # dedup.dedup_clusters): without it the rank plan nests one
             # join+agg level per iteration and both analysis cost and
             # recompute fan-out grow without bound; RDD-scoped storage,
-            # so the ContextCleaner frees old vectors as they drop
-            .localCheckpoint(eager=True)
-        )
-    out = ranks.select("node", F.round("rank", 9).alias("rank"))
-    adj.unpersist()
-    nodes.unpersist()
-    return out
+            # so the ContextCleaner frees old vectors as they drop. The
+            # eager materialization is ALSO the action that fires the
+            # observation feeding the next iteration's dangling mass.
+        ).localCheckpoint(eager=True)
+        dm = 1.0 - obs.get["live"]
+    return ranks.select("node", F.round("rank", 9).alias("rank"))
 
 
 def cluster_representatives(
@@ -106,6 +138,7 @@ def cluster_representatives(
     id_b: str = "doc_b",
     label_col: str = "cluster_id",
     id_col: str = "doc_id",
+    edges: DataFrame | None = None,
 ) -> DataFrame:
     """Canonical representative per near-dup cluster: PageRank the
     UNDIRECTED pair graph (each pair contributes both directions) and keep
@@ -113,12 +146,18 @@ def cluster_representatives(
 
     ``pairs``: near-dup pairs (e.g. dedup.minhash_lsh_pairs output);
     ``labels``: (doc_id, cluster) connected-component labels
-    (dedup.cluster_labels). Output: (cluster, rep_doc_id, rep_rank,
-    n_members)."""
-    und = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).unionByName(
-        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-    )
-    pr = pagerank(und, n_iter=n_iter)
+    (dedup.cluster_labels). Pass ``edges`` (a materialized DISTINCT
+    undirected (src, dst) frame, e.g. ``dedup.undirected_edges(pairs)``)
+    to share the edge build with a composed ``dedup_clusters`` call —
+    the pair pipeline then runs once, not twice.
+    Output: (cluster, rep_doc_id, rep_rank, n_members)."""
+    if edges is None:
+        edges = pairs.select(
+            F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+        ).unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        ).distinct()
+    pr = pagerank(edges, n_iter=n_iter, edges_distinct=True)
     member = labels.select(
         F.col(id_col).alias("node"), F.col(label_col).alias("cluster")
     ).join(pr, on="node", how="left")

@@ -139,7 +139,22 @@ def _extend(v: int, t: int) -> int:
 
 def jpeg_decode(data: bytes) -> np.ndarray:
     """Decode a baseline JPEG to an (h, w, 3) uint8 RGB array (grayscale
-    streams are replicated across channels)."""
+    streams are replicated across channels). Malformed streams always
+    raise JpegError — never a raw KeyError/IndexError (ADVICE r3)."""
+    try:
+        return _jpeg_decode_impl(data)
+    except JpegError:
+        raise
+    except (KeyError, IndexError, ValueError, StopIteration, struct.error) as e:
+        raise JpegError(f"malformed JPEG stream: {type(e).__name__}: {e}") from e
+
+
+# standalone markers that carry NO 2-byte length segment (T.81 §B.1.1.3):
+# TEM, RSTn (stray, outside entropy data), SOI
+_STANDALONE_MARKERS = frozenset({0x01, *range(0xD0, 0xD8), 0xD8})
+
+
+def _jpeg_decode_impl(data: bytes) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise JpegError("not a JPEG (missing SOI)")
     qtables: dict[int, np.ndarray] = {}
@@ -148,12 +163,21 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     h = w = 0
     restart_interval = 0
     i = 2
-    while True:
+    while i < len(data) - 1:
         if data[i] != 0xFF:
             raise JpegError(f"marker desync at byte {i}")
+        # skip 0xFF fill bytes between segments (T.81 §B.1.1.2 allows
+        # any number of fill bytes before a marker)
+        while i < len(data) - 1 and data[i + 1] == 0xFF:
+            i += 1
         marker = data[i + 1]
         if marker == 0xD9:  # EOI
             raise JpegError("EOI before SOS")
+        if marker in _STANDALONE_MARKERS:  # length-less: skip the pair
+            i += 2
+            continue
+        if i + 4 > len(data):
+            raise JpegError("truncated marker segment header")
         seg_len = struct.unpack(">H", data[i + 2:i + 4])[0]
         seg = data[i + 4:i + 2 + seg_len]
         if marker == 0xDB:  # DQT (possibly several tables)

@@ -166,13 +166,16 @@ def q_dedup_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     (equality-to-numpy power iteration asserted in tests/test_graphalgo.py)."""
     from web_scraper_spark.operators import graphalgo as ga
 
-    pairs = dd.minhash_lsh_pairs(_docs(spark, sf_dir), tau=0.4).localCheckpoint(
-        eager=True  # consumed by BOTH the label propagation and the rank graph
-    )
+    pairs = dd.minhash_lsh_pairs(_docs(spark, sf_dir), tau=0.4)
+    # ONE materialization of the pair pipeline: the undirected edge frame
+    # (eager localCheckpoint) feeds BOTH the label propagation and the
+    # rank graph (r3 VERDICT item 1 — previously each built its own).
+    edges = dd.undirected_edges(pairs)
+    labels = dd.dedup_clusters(pairs, edges=edges)
     # 6 iterations: representative ORDER stabilizes far earlier than rank
     # values converge (the argmax is decided by degree structure within a
     # cluster); pagerank-value exactness keeps its own 10-iter numpy test
-    return ga.cluster_representatives(pairs, dd.dedup_clusters(pairs), n_iter=6)
+    return ga.cluster_representatives(pairs, labels, n_iter=6, edges=edges)
 
 
 def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -795,9 +798,14 @@ def q_crawl_fetch_log(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     site = SiteConfig()
     cfg = CrawlConfig(as_of="2025-12-01T22:30:00", round_seconds=30.0, max_rounds=6)
+    # eager localCheckpoint, not cache(): RDD-scoped storage the
+    # ContextCleaner frees when the frame drops — a cache() here leaked
+    # one session-lifetime frame per gate/bench invocation (r3 VERDICT
+    # item 7; same fix as the r2 jaccard_pairs cache)
+    pages = build_pages_df(spark, site).localCheckpoint(eager=True)
     eng = CrawlEngine(
         spark,
-        build_pages_df(spark, site).cache(),
+        pages,
         build_robots_df(spark, site),
         tempfile.mkdtemp(prefix="crawl_q_"),
         cfg,
