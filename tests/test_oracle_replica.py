@@ -39,6 +39,7 @@ def test_gate_window_contract():
         "q1_via_sql",
         "keyword_search",
         "bm25_topk",
+        "bm25_topk_incremental",  # r4: ≡ full-corpus bm25_topk oracle
     }
 
 

@@ -36,6 +36,12 @@ class ConcurrentCommitError(RuntimeError):
     """Two committers raced on the same round (Iceberg's commit-conflict
     analogue): the loser must not touch the winner's committed files."""
 
+
+class SnapshotExpiredError(RuntimeError):
+    """Time-travel read against a round whose queue/seen data was removed
+    by ``expire_snapshots`` (Iceberg's 'snapshot no longer available'):
+    the manifest survives for lineage/metrics, the data does not."""
+
 FRONTIER_SCHEMA = (
     "url string, url_canon string, url_hash long, bucket int, host string, "
     "source string, source_pos int, depth int, "
@@ -463,3 +469,142 @@ class CrawlState:
         for name in list(os.listdir(self.dir)):
             if name.startswith("round=") and int(name.split("=")[1]) > k:
                 shutil.rmtree(os.path.join(self.dir, name))
+
+    # -- time travel + snapshot expiry (Iceberg behaviors, r3 VERDICT 4) ------
+
+    def committed_rounds(self) -> list[int]:
+        """All rounds with a manifest, ascending (the snapshot log)."""
+        out = []
+        if os.path.isdir(self.dir):
+            for name in os.listdir(self.dir):
+                if name.startswith("round=") and os.path.exists(
+                    os.path.join(self.dir, name, "manifest.json")
+                ):
+                    out.append(int(name.split("=")[1]))
+        return sorted(out)
+
+    def is_expired(self, k: int) -> bool:
+        return os.path.exists(os.path.join(self._round_dir(k), ".expired"))
+
+    def read_as_of(self, table: str, k: int) -> DataFrame:
+        """Time-travel read: the state of ``table`` as of committed round
+        ``k`` — exactly what a reader at round k saw.
+
+        tables: ``frontier`` (round k's outgoing queue), ``seen`` (full
+        seen set through round k: compaction base ≤ k + delta tail),
+        ``fetch_log`` / alias ``pages`` (cumulative log through round k).
+
+        fetch_log time travel SURVIVES ``expire_snapshots`` — the log is
+        append-only current-table data, so old rounds' partitions are
+        never expired (the Iceberg distinction between data referenced by
+        the live table and snapshot-only data). frontier/seen reads at an
+        expired round raise SnapshotExpiredError."""
+        if not os.path.exists(os.path.join(self._round_dir(k), "manifest.json")):
+            raise ValueError(f"round {k} was never committed")
+        if table == "frontier":
+            if not os.path.isdir(os.path.join(self._round_dir(k), "frontier")):
+                raise SnapshotExpiredError(
+                    f"frontier of round {k} was removed by expire_snapshots"
+                )
+            return self.read_frontier(k)
+        if table == "seen":
+            base_round, _ = self._latest_compaction(k)
+            for i in range(base_round + 1, k + 1):
+                rd = self._round_dir(i)
+                if os.path.exists(
+                    os.path.join(rd, "manifest.json")
+                ) and not os.path.isdir(os.path.join(rd, "seen_delta")):
+                    raise SnapshotExpiredError(
+                        f"seen state at round {k} needs the round-{i} delta, "
+                        "which was removed by expire_snapshots"
+                    )
+            return self.read_seen(k)
+        if table in ("fetch_log", "pages"):
+            return self.read_fetch_log(k)
+        raise ValueError(f"unknown table {table!r} (frontier|seen|fetch_log|pages)")
+
+    def expire_snapshots(self, keep_last: int) -> dict:
+        """Expire time-travel for all but the last ``keep_last`` committed
+        rounds, freeing the files only those snapshots reference — without
+        breaking resume, compaction, or current-table reads.
+
+        What goes, per expired round: ``frontier/`` (queue superseded by
+        later rounds), ``seen_delta/`` (first folded into a compaction
+        base at the expiry cutoff so retained reads never need it),
+        ``bloom/`` and ``host_state/`` (only the latest round's carry is
+        live). Superseded compaction bases below the cutoff base are also
+        dropped — hard-link-aware: unlink only decrements the link count,
+        so parquet inodes shared with the kept base survive (the same
+        metadata-only carry ``compact_seen`` exploits when linking
+        untouched buckets forward).
+
+        What stays: every ``manifest.json`` (resume sums fetch_log lineage
+        across ALL rounds — frontier/engine.py._fetch_offset) and every
+        ``fetch_log/`` partition (append-only current-table data).
+
+        Returns {"expired_rounds", "files_freed", "bytes_freed"}."""
+        import shutil
+
+        rounds = self.committed_rounds()
+        if not rounds or keep_last < 1:
+            return {"expired_rounds": [], "files_freed": 0, "bytes_freed": 0}
+        last = rounds[-1]
+        cutoff = last - keep_last + 1  # rounds >= cutoff stay time-travelable
+        expired = [k for k in rounds if k < cutoff and not self.is_expired(k)]
+        if not expired:
+            return {"expired_rounds": [], "files_freed": 0, "bytes_freed": 0}
+        # fold every delta an expired round contributes into a base at
+        # cutoff-1, so retained readers (r >= cutoff) resolve to
+        # base(<=r) + retained-only deltas
+        base_round, _ = self._latest_compaction(last)
+        if base_round < cutoff - 1:
+            self.compact_seen(cutoff - 1)
+
+        files_freed = 0
+        bytes_freed = 0
+
+        def _rm(path: str) -> None:
+            nonlocal files_freed, bytes_freed
+            if not os.path.isdir(path):
+                return
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    full = os.path.join(root, f)
+                    st = os.stat(full)
+                    files_freed += 1
+                    # a hard-linked inode is only FREED when its last name
+                    # goes; count bytes only for the final link
+                    if st.st_nlink == 1:
+                        bytes_freed += st.st_size
+            shutil.rmtree(path)
+
+        # superseded bases: a reader at round r resolves to the HIGHEST base
+        # <= r, so the only bases still referenced are {base(r) : r retained}
+        # (r >= cutoff; future rounds resolve like r = last) — everything
+        # else is unreachable and goes
+        bases = sorted(
+            int(n.split("=")[1])
+            for n in os.listdir(self.dir)
+            if n.startswith("seen_compact=")
+            and os.path.exists(os.path.join(self.dir, n, "_COMMITTED"))
+        )
+        needed = set()
+        for r in range(cutoff, last + 1):
+            covering = [b for b in bases if b <= r]
+            if covering:
+                needed.add(max(covering))
+        for b in bases:
+            if b not in needed:
+                _rm(self._compaction_dir(b))
+
+        for k in expired:
+            rd = self._round_dir(k)
+            for sub in ("frontier", "seen_delta", "bloom", "host_state"):
+                _rm(os.path.join(rd, sub))
+            with open(os.path.join(rd, ".expired"), "w") as f:
+                f.write(str(cutoff))
+        return {
+            "expired_rounds": expired,
+            "files_freed": files_freed,
+            "bytes_freed": bytes_freed,
+        }

@@ -136,20 +136,20 @@ def keyword_search_sql() -> str:
     """
 
 
-def bm25_topk(docs: DataFrame, k: int = 10) -> DataFrame:
-    """BM25 top-k per query (k1=1.2, b=0.75, idf = ln(1 + (N-df+.5)/(df+.5))).
-
-    Corpus stats (N, total_dl) and per-term document frequencies are
-    1-row / |terms|-row aggregates → broadcast; per-(query, doc) scores
-    sum through DECIMAL so ranks can't drift with summation order. The
-    rank window partitions by query and orders by the POST-rounding score
-    (ties broken by doc_id) — deterministic across engines."""
-    spark = docs.sparkSession
+def _corpus_stats(docs: DataFrame) -> DataFrame:
+    """1-row (n_docs, total_dl) over ALL docs (zero-hit docs still count)."""
     tok = tokens(F.lower(clean_text(F.col("text"))))
-    stats = docs.select(F.size(tok).alias("dl")).agg(
+    return docs.select(F.size(tok).alias("dl")).agg(
         F.count("*").alias("n_docs"), F.sum("dl").cast("bigint").alias("total_dl")
     )
-    tf = _postings(docs)
+
+
+def _bm25_rank(tf: DataFrame, stats: DataFrame, k: int) -> DataFrame:
+    """The shared BM25 scoring body: postings (doc_id, dl, term, tf) +
+    1-row stats → ranked top-k per query. Factored out so the full and
+    incremental paths score IDENTICALLY (same expression tree, same
+    decimal sum, same window)."""
+    spark = tf.sparkSession
     # document frequency: tf has exactly one row per (doc, term), so a
     # count over a term-partitioned window IS df — one shuffle of the
     # (already tiny) postings frame instead of recomputing the whole
@@ -181,6 +181,70 @@ def bm25_topk(docs: DataFrame, k: int = 10) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("query", "doc_id", "score", "rank")
     )
+
+
+def bm25_topk(docs: DataFrame, k: int = 10) -> DataFrame:
+    """BM25 top-k per query (k1=1.2, b=0.75, idf = ln(1 + (N-df+.5)/(df+.5))).
+
+    Corpus stats (N, total_dl) and per-term document frequencies are
+    1-row / |terms|-row aggregates → broadcast; per-(query, doc) scores
+    sum through DECIMAL so ranks can't drift with summation order. The
+    rank window partitions by query and orders by the POST-rounding score
+    (ties broken by doc_id) — deterministic across engines."""
+    return _bm25_rank(_postings(docs), _corpus_stats(docs), k)
+
+
+# ---------------------------------------------------------------------------
+# Incremental index maintenance (r3 VERDICT item 5 — the production daily
+# batch: new documents arrive, the corpus index must not be re-tokenized)
+# ---------------------------------------------------------------------------
+
+STATS_SCHEMA = "n_docs bigint, total_dl bigint"
+POSTINGS_SCHEMA = "doc_id bigint, dl int, term string, tf bigint"
+
+
+def build_postings_index(docs: DataFrame, path: str) -> None:
+    """Persist the search index: the query-term postings table plus the
+    1-row corpus stats (n_docs, total_dl — BM25 needs them over ALL docs,
+    including zero-hit ones, so they can't be rederived from postings).
+    The analogue of dedup's persisted sketch side: tokenize once, reuse
+    across every delta batch."""
+    _postings(docs).write.mode("overwrite").parquet(f"{path}/postings")
+    _corpus_stats(docs).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def delta_postings(corpus_postings: DataFrame, delta_docs: DataFrame) -> DataFrame:
+    """Merge freshly tokenized DELTA postings into the persisted corpus
+    postings — the corpus side is a plain parquet scan (no explode, no
+    re-tokenization; plan-asserted in tests/test_search.py). Assumes
+    delta doc_ids are disjoint from the corpus (append-only ingest), so
+    the union keeps the one-row-per-(doc, term) invariant."""
+    return corpus_postings.unionByName(_postings(delta_docs))
+
+
+def bm25_topk_incremental(
+    spark, index_path: str, delta_docs: DataFrame, k: int = 10
+) -> DataFrame:
+    """BM25 over corpus ∪ delta where only the DELTA is tokenized: corpus
+    postings/stats come from the persisted index, combined stats are an
+    exact bigint sum, and the scoring body is the very same expression
+    tree as ``bm25_topk`` — so the result EQUALS bm25_topk(corpus ∪ delta)
+    value-for-value (oracled in queries.py).
+
+    At 100 TB this is the O(|delta|) shape: the explode pipeline runs
+    over the day's batch, the index scan is column-pruned parquet, and
+    df/idf still reflect the full merged corpus."""
+    corpus_tf = spark.read.schema(POSTINGS_SCHEMA).parquet(f"{index_path}/postings")
+    corpus_stats = spark.read.schema(STATS_SCHEMA).parquet(f"{index_path}/stats")
+    tf = delta_postings(corpus_tf, delta_docs)
+    stats = (
+        corpus_stats.unionByName(_corpus_stats(delta_docs))
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("total_dl").cast("bigint").alias("total_dl"),
+        )
+    )
+    return _bm25_rank(tf, stats, k)
 
 
 def bm25_topk_sql(k: int = 10) -> str:

@@ -209,3 +209,119 @@ def default_tagger() -> PerceptronNER:
     if _DEFAULT is None:
         _DEFAULT = train(synth_training_corpus())
     return _DEFAULT
+
+
+# ---------------------------------------------------------------------------
+# Quality evaluation (r3 VERDICT item 2): the model tier graded on OUTPUT,
+# not wiring — entity-level P/R/F1 on held-out synthetic sentences, so a
+# future underthesea/pyvi swap has a measured baseline to beat.
+# ---------------------------------------------------------------------------
+
+def bio_spans(tags: list[str]) -> list[tuple[int, int, str]]:
+    """(start, end_exclusive, type) entity spans of a BIO stream. An
+    orphan I- (after O, or with a type switch) OPENS a span — mirroring
+    entities.merge_bio's stream handling so evaluation and extraction
+    agree on what counts as an entity."""
+    spans: list[tuple[int, int, str]] = []
+    start, typ = None, None
+    for i, t in enumerate(tags):
+        if t.startswith("B-") or (t.startswith("I-") and t[2:] != typ):
+            if start is not None:
+                spans.append((start, i, typ))
+            start, typ = i, t[2:]
+        elif t == "O":
+            if start is not None:
+                spans.append((start, i, typ))
+            start, typ = None, None
+        # I- continuing the open span: nothing to do
+    if start is not None:
+        spans.append((start, len(tags), typ))
+    return spans
+
+
+def evaluate(tagger: PerceptronNER, corpus) -> dict:
+    """Entity-level (exact span + type) precision/recall/F1 per type, plus
+    a micro average, over labeled (tokens, bio_tags) sentences."""
+    from collections import Counter
+
+    tp: Counter = Counter()
+    n_pred: Counter = Counter()
+    n_gold: Counter = Counter()
+    for toks, tags in corpus:
+        g = {(s, e, t) for (s, e, t) in bio_spans(tags)}
+        p = {(s, e, t) for (s, e, t) in bio_spans(tagger(toks))}
+        for _, _, t in g:
+            n_gold[t] += 1
+        for _, _, t in p:
+            n_pred[t] += 1
+        for _, _, t in g & p:
+            tp[t] += 1
+    out = {}
+    types = sorted(set(n_gold) | set(n_pred))
+    for t in types + ["micro"]:
+        if t == "micro":
+            tpx, px, gx = sum(tp.values()), sum(n_pred.values()), sum(n_gold.values())
+        else:
+            tpx, px, gx = tp[t], n_pred[t], n_gold[t]
+        prec = tpx / px if px else 0.0
+        rec = tpx / gx if gx else 0.0
+        f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+        out[t] = {
+            "precision": round(prec, 4),
+            "recall": round(rec, 4),
+            "f1": round(f1, 4),
+            "n_gold": gx,
+        }
+    return out
+
+
+# disjoint gazetteers for the generalization split: every entity WORD is
+# absent from training, so the tagger can only succeed via shape features
+# (title case, affixes, context words, tag transitions)
+_PER_FIRST_U = ["Duong", "Trinh", "Mach", "Quach"]
+_PER_MID_U = ["Xuan", "Ngoc", "Trong"]
+_PER_LAST_U = ["Phuc", "Tam", "Vy", "Son"]
+_LOC_U = [["Soc", "Trang"], ["Lao", "Cai"], ["Ben", "Tre"], ["Gia", "Lai"]]
+_ORG_U = [
+    ["Cong", "ty", "Bac", "Viet"],
+    ["Tap", "doan", "Sao", "Mai"],
+    ["Ngan", "hang", "Nam", "Do"],
+]
+
+
+def synth_eval_corpus(n: int = 150, seed: int = 7, unseen: bool = False):
+    """Labeled eval sentences. unseen=False draws from the TRAINING
+    gazetteers (fresh sentences, seen vocabulary — in-distribution);
+    unseen=True draws every entity from the disjoint *_U gazetteers
+    (out-of-gazetteer generalization: the number a production
+    underthesea/pyvi swap must beat)."""
+    rng = random.Random(seed)
+    per_f = _PER_FIRST_U if unseen else _PER_FIRST
+    per_m = _PER_MID_U if unseen else _PER_MID
+    per_l = _PER_LAST_U if unseen else _PER_LAST
+    locs = _LOC_U if unseen else _LOC
+    orgs = _ORG_U if unseen else _ORG
+    out = []
+    for _ in range(n):
+        tpl = rng.choice(_TEMPLATES)
+        toks, tags = [], []
+        for seg in tpl:
+            if isinstance(seg, tuple):
+                etype = seg[0]
+                if etype == "PER":
+                    words = [rng.choice(per_f), rng.choice(per_m), rng.choice(per_l)]
+                elif etype == "LOC":
+                    words = list(rng.choice(locs))
+                else:
+                    words = list(rng.choice(orgs))
+                for i, w in enumerate(words):
+                    toks.append(w)
+                    tags.append(("B-" if i == 0 else "I-") + etype)
+            else:
+                toks.append(seg)
+                tags.append("O")
+            if rng.random() < 0.25:
+                toks.append(rng.choice(_FILLER))
+                tags.append("O")
+        out.append((toks, tags))
+    return out
