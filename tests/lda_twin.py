@@ -1,0 +1,101 @@
+"""Independent LDA twin for the parity test (r3 VERDICT item 3).
+
+sklearn is NOT in this container, so the independent optimizer is an
+in-repo batch variational-Bayes LDA — the same mean-field family
+sklearn's LatentDirichletAllocation implements (Blei, Ng & Jordan 2003;
+Hoffman, Blei & Bach 2010, batch mode), written against numpy only.
+Spark ML's ``optimizer="em"`` is expectation-maximization on the
+collapsed graph, so the two differ exactly the way sklearn-vs-Spark
+would: same objective family, different optimizer — the divergence the
+parity test pins a floor under.
+
+Deterministic: seeded gamma init, fixed iteration counts, no
+convergence-test early exit. Pure test infrastructure (tests/ only) —
+the production path is Spark ML (operators/topics.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def digamma(x: np.ndarray) -> np.ndarray:
+    """ψ(x) for x > 0 via the recurrence shift + asymptotic series
+    (Abramowitz & Stegun 6.3.18) — float64-accurate to ~1e-12, no scipy."""
+    x = np.asarray(x, dtype=np.float64)
+    out = np.zeros_like(x)
+    # shift every element above 6 for the series
+    shift = np.maximum(0, np.ceil(6.0 - x)).astype(int)
+    xs = x + shift
+    # accumulate the recurrence terms psi(x) = psi(x+1) - 1/x
+    max_shift = int(shift.max()) if shift.size else 0
+    for i in range(max_shift):
+        mask = shift > i
+        out[mask] -= 1.0 / (x[mask] + i)
+    inv = 1.0 / xs
+    inv2 = inv * inv
+    out += (
+        np.log(xs)
+        - 0.5 * inv
+        - inv2 * (1.0 / 12.0 - inv2 * (1.0 / 120.0 - inv2 / 252.0))
+    )
+    return out
+
+
+def vb_lda_doc_topics(
+    X: np.ndarray,
+    k: int,
+    seed: int = 42,
+    n_iter: int = 30,
+    e_steps: int = 50,
+    alpha: float | None = None,
+    eta: float | None = None,
+) -> np.ndarray:
+    """Batch VB LDA over a dense doc-term count matrix → argmax topic per
+    doc. Defaults mirror sklearn's priors (1/k)."""
+    rng = np.random.RandomState(seed)
+    n_docs, n_vocab = X.shape
+    alpha = alpha if alpha is not None else 1.0 / k
+    eta = eta if eta is not None else 1.0 / k
+    # topic-word variational parameter, gamma-distributed init (sklearn's)
+    lam = rng.gamma(100.0, 0.01, (k, n_vocab))
+    gamma = None
+    for _ in range(n_iter):
+        e_log_beta = digamma(lam) - digamma(lam.sum(axis=1, keepdims=True))
+        exp_elog_beta = np.exp(e_log_beta)  # (k, V)
+        gamma = np.full((n_docs, k), alpha + X.sum(axis=1, keepdims=True) / k)
+        for _ in range(e_steps):
+            e_log_theta = digamma(gamma) - digamma(gamma.sum(axis=1, keepdims=True))
+            exp_elog_theta = np.exp(e_log_theta)  # (D, k)
+            # phi norm per (doc, word): sum_k exp_theta * exp_beta
+            norm = exp_elog_theta @ exp_elog_beta + 1e-100  # (D, V)
+            gamma = alpha + exp_elog_theta * ((X / norm) @ exp_elog_beta.T)
+        # M-step
+        e_log_theta = digamma(gamma) - digamma(gamma.sum(axis=1, keepdims=True))
+        exp_elog_theta = np.exp(e_log_theta)
+        norm = exp_elog_theta @ exp_elog_beta + 1e-100
+        lam = eta + exp_elog_beta * (exp_elog_theta.T @ (X / norm))
+    return gamma.argmax(axis=1)
+
+
+def adjusted_rand(a, b) -> float:
+    """Adjusted Rand index of two labelings (Hubert & Arabie 1985)."""
+    a = np.asarray(a)
+    b = np.asarray(b)
+    ua, ia = np.unique(a, return_inverse=True)
+    ub, ib = np.unique(b, return_inverse=True)
+    cont = np.zeros((len(ua), len(ub)), dtype=np.int64)
+    np.add.at(cont, (ia, ib), 1)
+
+    def c2(x):
+        return x * (x - 1) // 2
+
+    sum_ij = c2(cont).sum()
+    sum_a = c2(cont.sum(axis=1)).sum()
+    sum_b = c2(cont.sum(axis=0)).sum()
+    n = c2(len(a))
+    expected = sum_a * sum_b / n if n else 0.0
+    max_index = (sum_a + sum_b) / 2.0
+    if max_index == expected:
+        return 1.0
+    return float((sum_ij - expected) / (max_index - expected))
