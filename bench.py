@@ -244,7 +244,24 @@ HEADLINE = [
     "repetition_stats",       # Gopher repetition signals (one tagged explode)
     "keyword_search",         # conjunctive inverted-index search
     "bm25_topk",              # BM25 top-10/query, decimal-summed scores
+    "bm25_topk_incremental",  # delta-only tokenization vs persisted index
+    "robots_parse",           # robots.txt parse + rule application
+    "media_resize",           # real PNG decode -> nearest-neighbor resize
+    "media_frames",           # Y4M header-stride frame sampling
+    "ann_ivf_topk",           # persisted IVF index probe (partition-pruned)
+    "lda_topics",             # Spark ML EM LDA fit + argmax (grain-k)
+    "sessionize_stream",      # applyInPandasWithState sessionization
 ]
+
+# registered queries NOT timed per-query, and why — "no silent caps"
+# applied to bench coverage itself (r3 VERDICT): every OTHER registered
+# query is timed (HEADLINE order first, the remainder appended sorted by
+# name in bench_queries), so a new queries() entry can never be silently
+# untimed.
+UNTIMED = {
+    "crawl_fetch_log": "full crawl engine run; timed directly by the "
+    "crawl_end_to_end section (same engine, controlled round count)",
+}
 
 
 def caps_report(
@@ -320,8 +337,9 @@ def bench_queries(spark, sf_dir: str, repeats: int = 2) -> dict[str, float]:
     from web_scraper_spark.queries import queries
 
     qs = queries()
+    order = HEADLINE + sorted(set(qs) - set(HEADLINE) - set(UNTIMED))
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in order:
         fn = qs[name]
         best = None
         for _ in range(repeats):
@@ -332,6 +350,73 @@ def bench_queries(spark, sf_dir: str, repeats: int = 2) -> dict[str, float]:
             best = wall if best is None else min(best, wall)
         timings[name] = round(best, 3)
     return timings
+
+
+# ---------------------------------------------------------------------------
+# 10x SF stress (curation/search tiers): near-linear scaling evidence
+# ---------------------------------------------------------------------------
+
+def build_stress_docs(spark, sf_dir: str, mult: int = 10) -> str:
+    """Deterministic mult-x documents table: each source doc yields `mult`
+    variants (replica 0 verbatim; replica r>0 prefixed with a replica tag
+    so token/gram inventories grow with the corpus instead of collapsing
+    to exact clones). doc_id shifts by r*10^9 — a multiple of every
+    modulus the curation queries split on (bench_mod=25, delta %10), so
+    benchmark/delta proportions are preserved at the larger scale."""
+    from pyspark.sql import functions as F
+
+    out = tempfile.mkdtemp(prefix="bench_stress_sf_")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    reps = spark.range(mult).toDF("rep")
+    big = docs.crossJoin(F.broadcast(reps)).select(
+        (F.col("doc_id") + F.col("rep") * F.lit(10**9)).alias("doc_id"),
+        F.when(F.col("rep") == 0, F.col("text"))
+        .otherwise(
+            F.concat(
+                F.lit("variant "), F.col("rep").cast("string"), F.lit(" "),
+                F.col("text"),
+            )
+        )
+        .alias("text"),
+        "lang",
+        "source",
+    )
+    big = big.withColumn("n_chars", F.length("text").cast("long"))
+    big.repartition(32).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    return out
+
+
+STRESS_QUERIES = ["decontaminate", "repetition_stats", "bm25_topk"]
+
+
+def sf_stress(spark, sf_dir: str, mult: int = 10, repeats: int = 2) -> dict:
+    """Walls for the curation/search headline shapes at 1x and mult-x the
+    same corpus, plus cap counters at mult-x: the 'one tagged explode /
+    broadcast gram join / postings pipeline' plans must hold near-linear
+    wall growth (<= ~mult, VM throttling variance aside) — the r3 VERDICT
+    asked for this as the tiers' scale-up evidence."""
+    from web_scraper_spark.queries import queries
+
+    qs = queries()
+    stress_dir = build_stress_docs(spark, sf_dir, mult)
+    out: dict = {"mult": mult, "queries": {}}
+    for name in STRESS_QUERIES:
+        fn = qs[name]
+        walls = {}
+        for label, d in (("base_s", sf_dir), ("stress_s", stress_dir)):
+            best = None
+            for _ in range(repeats):
+                t0 = time.monotonic()
+                fn(spark, d).count()
+                wall = time.monotonic() - t0
+                best = wall if best is None else min(best, wall)
+            walls[label] = round(best, 3)
+        walls["wall_growth"] = round(walls["stress_s"] / walls["base_s"], 2)
+        out["queries"][name] = walls
+    # cap counters at the stressed scale — the "no silent caps" accounting
+    # must hold where the caps are most likely to engage
+    out["caps_at_stress"] = caps_report(spark, stress_dir)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -353,6 +438,7 @@ def run_default() -> dict:
         _ident, "id long"
     ).count()
     timings = bench_queries(spark, sf_dir)
+    stress = sf_stress(spark, sf_dir)
     caps = caps_report(spark, sf_dir)
     # skew-injected twin: proves the caps engage (mirror-farm shape) with
     # exact drop counts — "no silent caps" applied to the bench itself
@@ -375,6 +461,8 @@ def run_default() -> dict:
         "crawl_end_to_end": crawl,
         "caps": caps,
         "caps_injected": caps_injected,
+        "sf_stress": stress,
+        "untimed": UNTIMED,
         "cpus": cpus,
     }
 
@@ -532,6 +620,13 @@ if __name__ == "__main__":
         result = run_crawl_scaling()
     elif "--scaling" in sys.argv:
         result = run_scaling()
+    elif "--sf-stress" in sys.argv:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        spark = _get_spark(cpus)
+        spark.range(1000).count()
+        result = sf_stress(spark, sf_dir)
+        spark.stop()
     else:
         result = run_default()
     print(json.dumps(result))
