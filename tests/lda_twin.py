@@ -42,21 +42,13 @@ def digamma(x: np.ndarray) -> np.ndarray:
     return out
 
 
-def vb_lda_doc_topics(
-    X: np.ndarray,
-    k: int,
-    seed: int = 42,
-    n_iter: int = 30,
-    e_steps: int = 50,
-    alpha: float | None = None,
-    eta: float | None = None,
-) -> np.ndarray:
-    """Batch VB LDA over a dense doc-term count matrix → argmax topic per
-    doc. Defaults mirror sklearn's priors (1/k)."""
+def _vb_fit(X, k, seed, n_iter, e_steps, alpha, eta):
+    """One seeded VB run → (doc-topic gamma, data-fit score). The score is
+    the data term of the variational bound, Σ_dw X_dw · log Σ_k
+    E[θ_dk]E[β_kw] — enough to rank restarts (prior terms are O(k·V) and
+    near-constant across fits of the same shape)."""
     rng = np.random.RandomState(seed)
     n_docs, n_vocab = X.shape
-    alpha = alpha if alpha is not None else 1.0 / k
-    eta = eta if eta is not None else 1.0 / k
     # topic-word variational parameter, gamma-distributed init (sklearn's)
     lam = rng.gamma(100.0, 0.01, (k, n_vocab))
     gamma = None
@@ -75,7 +67,35 @@ def vb_lda_doc_topics(
         exp_elog_theta = np.exp(e_log_theta)
         norm = exp_elog_theta @ exp_elog_beta + 1e-100
         lam = eta + exp_elog_beta * (exp_elog_theta.T @ (X / norm))
-    return gamma.argmax(axis=1)
+    score = float((X * np.log(norm)).sum())
+    return gamma, score
+
+
+def vb_lda_doc_topics(
+    X: np.ndarray,
+    k: int,
+    seed: int = 42,
+    n_iter: int = 30,
+    e_steps: int = 50,
+    alpha: float | None = None,
+    eta: float | None = None,
+    n_restarts: int = 4,
+) -> np.ndarray:
+    """Batch VB LDA over a dense doc-term count matrix → argmax topic per
+    doc. Defaults mirror sklearn's priors (1/k). VB is a local optimizer
+    whose basin depends on the seeded init (a single unlucky init can
+    merge two planted topics), so the fit runs ``n_restarts`` seeded
+    inits (seed, seed+1, …) and keeps the best variational data fit —
+    deterministic, and the standard practice sklearn exposes as its own
+    restart knob."""
+    alpha = alpha if alpha is not None else 1.0 / k
+    eta = eta if eta is not None else 1.0 / k
+    best = None
+    for s in range(seed, seed + n_restarts):
+        gamma, score = _vb_fit(X, k, s, n_iter, e_steps, alpha, eta)
+        if best is None or score > best[1]:
+            best = (gamma, score)
+    return best[0].argmax(axis=1)
 
 
 def adjusted_rand(a, b) -> float:

@@ -46,11 +46,12 @@ def test_decode_second_fixture_and_errors():
     assert img.shape == (2, 2, 3)
     with pytest.raises(JpegError):
         jpeg_decode(b"\x89PNG not a jpeg")
-    # progressive SOF2 must refuse loudly, not decode garbage
+    # lossless SOF3 must refuse loudly, not decode garbage (SOF2 is now
+    # a real decode path — tests/test_jpeg_progressive.py)
     data = bytearray(_fixture("python.jpg"))
     sof = data.find(b"\xff\xc0")
-    data[sof + 1] = 0xC2
-    with pytest.raises(JpegError, match="non-baseline"):
+    data[sof + 1] = 0xC3
+    with pytest.raises(JpegError, match="unsupported SOF"):
         jpeg_decode(bytes(data))
 
 

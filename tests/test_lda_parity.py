@@ -13,8 +13,14 @@ Measured (deterministic, seed 42, k=5, maxIter=20):
   ARI(spark, truth) = ARI(twin, truth) = ARI(spark, twin) = 1.0
   → when the data HAS topic structure the optimizers agree completely;
 - the sf0.001 synthetic documents table (random word soup, 31-term
-  vocabulary, no latent structure): ARI(spark, twin) = 0.0209
+  vocabulary, no latent structure): ARI(spark, twin) = 0.0706
   → with nothing to recover, the two optimizers partition arbitrarily.
+
+The twin reads X in a canonical sorted-term basis (CountVectorizer
+breaks frequency ties by partition order, which varies across suite
+runs) and keeps the best of 4 seeded restarts by variational data fit —
+without restarts a single unlucky init can merge two planted topics
+(observed: ARI 0.78 under one tie-order permutation).
 
 That second number is WHY lda_topics is registered rows-only: the
 divergence is legitimate optimizer behavior, now measured instead of
@@ -60,6 +66,10 @@ def _spark_lda_assignments(spark, docs_df, tokens_col, k=5, seed=42):
     for i, r in enumerate(rows):
         v = r["features"]
         X[i, np.array(v.indices, dtype=int)] = v.values
+    # canonical term basis: CountVectorizer breaks equal-frequency ties by
+    # partition order, which is suite-run-dependent; the VB twin's seeded
+    # init is basis-sensitive, so hand it deterministically ordered columns
+    X = X[:, np.argsort(np.array(cvm.vocabulary))]
     return assign, X
 
 
@@ -91,7 +101,7 @@ def test_lda_optimizers_agree_on_planted_structure(spark):
 
 def test_lda_divergence_on_unstructured_corpus_is_measured(spark):
     """The sf0.001 documents are structureless word soup: the optimizers
-    legitimately disagree (measured ARI 0.0209). Pin that the divergence
+    legitimately disagree (measured ARI 0.0706). Pin that the divergence
     IS large — if this ever jumps above 0.5 the rows-only justification
     for lda_topics should be revisited (and the oracle story upgraded)."""
     from web_scraper_spark.operators.text import clean_text, tokens

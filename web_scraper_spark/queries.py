@@ -905,20 +905,51 @@ _JPEG_FIXTURE_B64 = (
     "f//Z"
 )
 
+# The SAME image as a progressive (SOF2) stream: a deterministic
+# coefficient-level transcode of _JPEG_FIXTURE_B64 produced by
+# tests/jpeg_progressive.encode_progressive under the full
+# successive-approximation scan script (DC first Al=1 + refine, per-band
+# AC first + refine) — decodes pixel-identical to the baseline bytes
+# (asserted in tests/test_jpeg_progressive.py).
+_JPEG_PROGRESSIVE_FIXTURE_B64 = (
+    "/9j/2wBDAAMCAgICAgMCAgIDAwMDBAYEBAQEBAgGBgUGCQgKCgkICQkKDA8MCgsOCwkJDRENDg8Q"
+    "EBEQCgwSExIQEw8QEBD/2wBDAQMDAwQDBAgEBAgQCwkLEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQ"
+    "EBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBD/wgARCAAQABADASIAAhEBAxEB/8QAGAAAAAUAAAAA"
+    "AAAAAAAAAAAAAAMEBQb/2gAMAwEAAgADAAAAAYSjk5rWP//EABkQAAAGAAAAAAAAAAAAAAAAAAME"
+    "BQYHCP/aAAgBAQABBQFGREiOSKlGQz8Rq9yQjinpwnYqCB//xAAkEAAAAAARAAAAAAAAAAAAAAAA"
+    "AQIDBAUGERITFCEiMUFCUf/aAAgBAQAGPwEmBDRahBq8QNDZIHSWlhCUQkM9gswPDDhPOWPbPLs3"
+    "4gtlKQClK4ULI4oIjpggnCxsIdFjgkSKRBHBBHCQkRwoI8UGE2JDCAaEtDYlqUhWEoSMkUYIQskD"
+    "ogZYhhjoY6EIDFij1wwhpEcG9EAJhjjNCyuLcZLMrkA6WJHJSYIGkxEJFjaEJsUhdRPmg3f/xAAd"
+    "EAAAAAoAAAAAAAAAAAAAAAAAAQMEBRUiMUFh/9oACAECAAE/AUsmzkoXVqPJRE1J43h//8QAGxAA"
+    "AAAIAAAAAAAAAAAAAAAAAAECBAUUIVH/2gAIAQMAAT8BMkeSQJZOS2uD/9oADAMBAAIAAwAAABDz"
+    "/8QAFBABAAAAAAAAAAAAAAAAAAAAIP/aAAgBAQABBRAE00//xAAaEAAABwAAAAAAAAAAAAAAAAAA"
+    "AREhMUFR/9oACAEBAAY/EDIdAUQ1kMxiD2BGA5I3JvXyymCJmNuoD9CEZEQNwlIjCdIaqTEmRBcC"
+    "MhoEH//EABcQAAAEAAAAAAAAAAAAAAAAAAERITH/2gAIAQIAAT8QQpABREKMIABMJCJiLkBiBf/E"
+    "ABoQAAAHAAAAAAAAAAAAAAAAAAABITFxgeH/2gAIAQMAAT8QWMMRlJiUsKh//9k="
+)
+
 
 def q_media_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Real compressed-image decode (rows-only): 8 rows carrying a
-    baseline JPEG payload, decoded by operators/jpegcodec.jpeg_decode
-    (full entropy decode + IDCT, pure numpy) inside one mapInPandas
-    pass; per-image stats come from ACTUAL pixels. Rows-only: no SQL
-    engine decodes JPEG; spec conformance is pinned against independent
-    raw ground truth in tests/test_jpeg.py."""
+    """Real compressed-image decode (rows-only): 8 rows — 4 carrying the
+    baseline (SOF0) JPEG payload, 4 the progressive (SOF2) transcode of
+    the same image — decoded by operators/jpegcodec.jpeg_decode (full
+    entropy decode incl. multi-scan spectral-selection/successive-
+    approximation accumulation + IDCT, pure numpy) inside one mapInPandas
+    pass; per-image stats come from ACTUAL pixels, so baseline and
+    progressive rows must agree exactly. Rows-only: no SQL engine decodes
+    JPEG; spec conformance is pinned against independent raw ground truth
+    in tests/test_jpeg.py and tests/test_jpeg_progressive.py."""
     import base64
 
-    payload = base64.b64decode(_JPEG_FIXTURE_B64)
+    baseline = base64.b64decode(_JPEG_FIXTURE_B64)
+    progressive = base64.b64decode(_JPEG_PROGRESSIVE_FIXTURE_B64)
     media = spark.createDataFrame(
-        [(i, bytearray(payload)) for i in range(8)],
-        "media_id bigint, payload binary",
+        [
+            (i, "baseline" if i < 4 else "progressive",
+             bytearray(baseline if i < 4 else progressive))
+            for i in range(8)
+        ],
+        "media_id bigint, sof string, payload binary",
     )
 
     def run(it):
@@ -933,7 +964,7 @@ def q_media_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 luma = 0.299 * arr[..., 0] + 0.587 * arr[..., 1] + 0.114 * arr[..., 2]
                 rows.append(
                     (
-                        r.media_id, arr.shape[1], arr.shape[0],
+                        r.media_id, r.sof, arr.shape[1], arr.shape[0],
                         round(float(luma.mean()), 4),
                         round(float(arr[..., 0].mean()), 4),
                         round(float(arr[..., 1].mean()), 4),
@@ -943,14 +974,14 @@ def q_media_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(
                 rows,
                 columns=[
-                    "media_id", "width", "height", "mean_luma",
+                    "media_id", "sof", "width", "height", "mean_luma",
                     "mean_r", "mean_g", "mean_b",
                 ],
             )
 
     return media.mapInPandas(
         run,
-        "media_id bigint, width int, height int, mean_luma double, "
+        "media_id bigint, sof string, width int, height int, mean_luma double, "
         "mean_r double, mean_g double, mean_b double",
     )
 
