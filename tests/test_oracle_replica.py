@@ -40,6 +40,8 @@ def test_gate_window_contract():
         "keyword_search",
         "bm25_topk",
         "bm25_topk_incremental",  # r4: ≡ full-corpus bm25_topk oracle
+        "phrase_search",          # r4: positional-postings phrase match
+        "sitemap_parse",          # r4: sitemaps.org pure-codegen extract
     }
 
 

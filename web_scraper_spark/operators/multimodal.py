@@ -25,11 +25,14 @@ pixel-tight conformance on the same ground truth), BMP pixels
 strides). ``decode_media`` derives features from actual pixels/samples/
 planes, ``resize_images`` resizes real rasters (PNG/JPEG/GIF), and
 ``sample_frames`` finds REAL frame boundaries from the decoded stream
-header. The remaining compressed formats (progressive JPEG/mp3/mp4)
-stay STUBBED (no PIL/ffmpeg in this container): on those payloads
-fake=False raises NotImplementedError, and fake=True emits a
-deterministic md5-derived stand-in with the exact schema/batch shape
-the real decoder would produce.
+header. JPEG covers baseline SOF0 AND progressive SOF2 (jpegcodec's
+multi-scan path). mp3/mp4 SAMPLE decode stays STUBBED (genuinely needs
+ffmpeg-class codecs): on those payloads fake=False raises
+NotImplementedError and fake=True emits a deterministic md5-derived
+stand-in with the exact schema/batch shape the real decoder would
+produce — but their CONTAINER metadata (duration/codec/dimensions/
+bitrate) parses for real via operators/mediameta.py
+(`media_container_meta`).
 """
 
 from __future__ import annotations

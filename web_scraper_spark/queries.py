@@ -24,6 +24,8 @@ from web_scraper_spark.operators import analytics as an
 from web_scraper_spark.operators import curation as cu
 from web_scraper_spark.operators import dedup as dd
 from web_scraper_spark.operators import multimodal as mm
+from web_scraper_spark.frontier import sitemap as sm
+from web_scraper_spark.operators import phrase as ph
 from web_scraper_spark.operators import search as se
 from web_scraper_spark.operators import similarity as sim
 from web_scraper_spark.operators.text import (
@@ -1052,6 +1054,216 @@ def q_media_video(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Registry
 # ---------------------------------------------------------------------------
 
+def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sitemaps.org discovery (frontier/sitemap.py): per-source leaf
+    sitemaps + one index, synthesized deterministically from the
+    documents table IN BOTH ENGINES (same concat/string_agg expressions),
+    parsed by the pure-codegen extractor — loc entity-unescape, optional
+    lastmod/changefreq/priority, index children. Value-exact oracle."""
+    from web_scraper_spark.frontier.sitemap import sitemap_entries
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") % 25 == 0)
+    frag = F.concat(
+        F.lit("<url><loc>https://"), F.col("source"), F.lit(".example.com/doc/"),
+        F.col("doc_id").cast("string"), F.lit("&amp;ref=sm</loc>"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit("<lastmod>2025-12-"),
+                F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+                F.lit("</lastmod>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("<priority>0."), (F.col("doc_id") % 10).cast("string"),
+                F.lit("</priority>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("<changefreq>daily</changefreq>"))
+        .otherwise(F.lit("")),
+        F.lit("</url>"),
+    )
+
+    def _frag_of(x):
+        return x["frag"]
+
+    leaves = (
+        docs.select("source", "doc_id", frag.alias("frag"))
+        .groupBy("source")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "frag"))),
+                    _frag_of,
+                ),
+                "",
+            ).alias("inner")
+        )
+        .select(
+            F.concat(
+                F.lit("https://"), F.col("source"), F.lit(".example.com/sitemap-1.xml")
+            ).alias("sitemap_url"),
+            F.concat(
+                F.lit('<?xml version="1.0"?><urlset>'), F.col("inner"),
+                F.lit("</urlset>"),
+            ).alias("body"),
+        )
+    )
+    index = (
+        docs.select("source").distinct()
+        .groupBy()
+        .agg(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(
+                        F.concat(
+                            F.lit("<sitemap><loc>https://"), F.col("source"),
+                            F.lit(".example.com/sitemap-1.xml</loc></sitemap>"),
+                        )
+                    )
+                ),
+                "",
+            ).alias("inner")
+        )
+        .select(
+            F.lit("https://hub.example.com/sitemap.xml").alias("sitemap_url"),
+            F.concat(
+                F.lit("<sitemapindex>"), F.col("inner"), F.lit("</sitemapindex>")
+            ).alias("body"),
+        )
+    )
+    return sitemap_entries(leaves.unionByName(index))
+
+
+SITEMAP_PARSE_SQL_BODIES = """
+    src AS (SELECT * FROM documents WHERE doc_id % 25 = 0),
+    frags AS (
+        SELECT source, doc_id,
+            '<url><loc>https://' || source || '.example.com/doc/'
+            || doc_id::VARCHAR || '&amp;ref=sm</loc>'
+            || CASE WHEN doc_id % 2 = 0
+                    THEN '<lastmod>2025-12-' || lpad((doc_id % 28 + 1)::VARCHAR, 2, '0') || '</lastmod>'
+                    ELSE '' END
+            || CASE WHEN doc_id % 3 = 0
+                    THEN '<priority>0.' || (doc_id % 10)::VARCHAR || '</priority>'
+                    ELSE '' END
+            || CASE WHEN doc_id % 5 = 0
+                    THEN '<changefreq>daily</changefreq>' ELSE '' END
+            || '</url>' AS frag
+        FROM src),
+    leaves AS (
+        SELECT 'https://' || source || '.example.com/sitemap-1.xml' AS sitemap_url,
+               '<?xml version="1.0"?><urlset>'
+               || string_agg(frag, '' ORDER BY doc_id) || '</urlset>' AS body
+        FROM frags GROUP BY source),
+    idx AS (
+        SELECT 'https://hub.example.com/sitemap.xml' AS sitemap_url,
+               '<sitemapindex>' || string_agg(
+                   '<sitemap><loc>https://' || source
+                   || '.example.com/sitemap-1.xml</loc></sitemap>',
+                   '' ORDER BY source) || '</sitemapindex>' AS body
+        FROM (SELECT DISTINCT source FROM src)),
+    bodies AS (SELECT * FROM leaves UNION ALL SELECT * FROM idx)
+"""
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase search over positional postings (operators/phrase.py):
+    anchor-cover GROUP BY formulation, one posexplode, phrase vocab
+    filtered inside the codegen pipeline. Value-exact oracle."""
+    from web_scraper_spark.operators.phrase import phrase_search
+
+    return phrase_search(_docs(spark, sf_dir))
+
+
+def q_media_container_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-metadata triage for the two formats whose SAMPLE decode
+    genuinely needs ffmpeg-class codecs (operators/mediameta.py — ISO
+    BMFF box walk, MPEG audio frame walk): duration / codec / dimensions /
+    bitrate extracted WITHOUT decoding samples, the 100 TB media-curation
+    pre-filter. Payloads are deterministic in-query constructions (the
+    INDEPENDENT spec-derived builders live in tests/test_mediameta.py);
+    rows-only: no SQL engine parses mp4/mp3."""
+    import struct as _s
+
+    def _box(btype, payload):
+        return _s.pack(">I", 8 + len(payload)) + btype + payload
+
+    def _full(btype, payload):
+        return _box(btype, b"\x00\x00\x00\x00" + payload)
+
+    def _mp4(dur_ms, w, h):
+        ftyp = _box(b"ftyp", b"isom" + _s.pack(">I", 512) + b"iso2")
+        mvhd = _full(b"mvhd", b"\x00" * 8 + _s.pack(">II", 1000, dur_ms) + b"\x00" * 80)
+        tkhd = _full(b"tkhd", b"\x00" * 76 + _s.pack(">II", w << 16, h << 16))
+        mdhd = _full(b"mdhd", b"\x00" * 8 + _s.pack(">II", 90000, dur_ms * 90) + b"\x00" * 4)
+        hdlr = _full(b"hdlr", b"\x00" * 4 + b"vide" + b"\x00" * 12)
+        stsd = _full(b"stsd", _s.pack(">I", 1) + _s.pack(">I", 16) + b"avc1" + b"\x00" * 8)
+        mdia = _box(b"mdia", mdhd + hdlr + _box(b"minf", _box(b"stbl", stsd)))
+        moov = _box(b"moov", mvhd + _box(b"trak", tkhd + mdia))
+        return ftyp + moov + _box(b"mdat", b"\x00" * 16)
+
+    def _mp3(n_frames, br_idx, bitrate):
+        frames = []
+        for i in range(n_frames):
+            pad = i % 2
+            ln = 144 * bitrate * 1000 // 44100 + pad
+            frames.append(
+                bytes([0xFF, 0xFB, (br_idx << 4) | (pad << 1), 0]) + b"\x00" * (ln - 4)
+            )
+        return b"".join(frames)
+
+    br_grid = [(9, 128), (11, 192), (14, 320)]
+    rows = []
+    for i in range(6):
+        rows.append((i, "mp4", bytearray(_mp4(1500 + 500 * i, 320 + 64 * i, 180 + 36 * i))))
+    for i in range(6):
+        idx, br = br_grid[i % 3]
+        rows.append((6 + i, "mp3", bytearray(_mp3(10 + 4 * i, idx, br))))
+    media = spark.createDataFrame(rows, "media_id bigint, fmt string, payload binary")
+
+    def run(it):
+        import pandas as pd
+
+        from web_scraper_spark.operators.mediameta import mp3_meta, mp4_meta
+
+        for pdf in it:
+            out = []
+            for r in pdf.itertuples(index=False):
+                payload = bytes(r.payload)
+                if r.fmt == "mp4":
+                    m = mp4_meta(payload)
+                    vid = next((t for t in m["tracks"] if t["kind"] == "video"), {})
+                    out.append((
+                        r.media_id, "mp4", m["duration_s"], m["n_tracks"],
+                        "+".join(t["codec"] or "?" for t in m["tracks"]),
+                        None, None, None, vid.get("width"), vid.get("height"),
+                    ))
+                else:
+                    m = mp3_meta(payload)
+                    out.append((
+                        r.media_id, "mp3", m["duration_s"], 1, "mp3",
+                        m["sample_rate"], m["bitrate_kbps"], m["mode"],
+                        None, None,
+                    ))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "fmt", "duration_s", "n_streams", "codecs",
+                    "sample_rate", "bitrate_kbps", "mode", "width", "height",
+                ],
+            )
+
+    return media.mapInPandas(
+        run,
+        "media_id bigint, fmt string, duration_s double, n_streams int, "
+        "codecs string, sample_rate int, bitrate_kbps int, mode string, "
+        "width double, height double",
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {
         # relational core (SURVEY §2.2/2.5/2.6/2.7)
@@ -1127,6 +1339,10 @@ def queries() -> dict[str, QueryFn]:
         "bm25_topk": q_bm25_topk,
         # r4: incremental index maintenance — oracled (≡ full-corpus BM25)
         "bm25_topk_incremental": q_bm25_topk_incremental,
+        # r4: exact-phrase search + sitemap discovery — oracled beyond the
+        # window (same pytest replica coverage as the rest of this block)
+        "phrase_search": q_phrase_search,
+        "sitemap_parse": q_sitemap_parse,
         # rows-only (non-SQL: BLAS summation order / ML fit / UDF-stateful /
         # crawl fixpoint) — pytest-verified
         # (equality-to-oracled-twin / recall / simulator-equivalence).
@@ -1146,6 +1362,7 @@ def queries() -> dict[str, QueryFn]:
         "robots_parse": q_robots_parse,
         "incremental_dedup": q_incremental_dedup,
         "dedup_centrality": q_dedup_centrality,
+        "media_container_meta": q_media_container_meta,
     }
 
 
@@ -1179,6 +1396,12 @@ def oracle_sql() -> dict[str, str]:
         # the incremental merge must reproduce full-corpus BM25 exactly —
         # same oracle body as bm25_topk (the whole point of the check)
         "bm25_topk_incremental": se.bm25_topk_sql(k=10),
+        "phrase_search": ph.phrase_search_sql(),
+        "sitemap_parse": (
+            "WITH " + SITEMAP_PARSE_SQL_BODIES + ", entries AS ("
+            + sm.sitemap_entries_sql("bodies")
+            + ") SELECT * FROM entries"
+        ),
         "q3_shipping_priority": f"""
             SELECT l_orderkey, o_orderdate, o_orderpriority,
                    {an.dec_sum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
