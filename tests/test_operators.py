@@ -219,6 +219,11 @@ def test_sketch_matches_expression_on_whitespace_edges(spark):
         for r in dd.minhash_signatures_arrays(docs).collect()
     }
     assert sk == exp
+    arrow = {
+        r["doc_id"]: [r[c] for c in cols]
+        for r in dd.minhash_signatures_arrow(docs).collect()
+    }
+    assert arrow == exp  # the registered Arrow form == the expression twin
     con = duckdb.connect()
     con.register("documents", docs.toPandas())
     dk = con.execute(dd.minhash_signatures_arrays_sql("documents")).fetchdf()

@@ -228,7 +228,10 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dd.minhash_signatures_arrays(_docs(spark, sf_dir))
+    """Signatures via the one-pass Arrow sketch (bit-identical to the
+    expression form dd.minhash_signatures_arrays, whose SQL stays the
+    oracle — same pattern as q_simhash)."""
+    return dd.minhash_signatures_arrow(_docs(spark, sf_dir))
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
