@@ -140,3 +140,83 @@ def test_repetition_partial_duplication_fractions(spark):
     assert d["dup_2gram_frac"] == 0.5
     assert d["dup_3gram_frac"] == 0.0
     assert d["flagged"]  # top_2gram_frac 0.5 > 0.20
+
+
+# ---------------------------------------------------------------------------
+# line_dedup (CCNet-style, first occurrence wins)
+# ---------------------------------------------------------------------------
+
+# exactly 2 chunks of 12 tokens
+_24_TOKENS = " ".join(f"w{i}" for i in range(24))
+
+
+def test_line_dedup_first_occurrence_wins(spark):
+    rows = [(1, _24_TOKENS), (2, _24_TOKENS)]  # doc 2 is a full copy
+    out = {r["doc_id"]: r for r in cu.line_dedup(_docs(spark, rows)).collect()}
+    assert out[1]["n_lines"] == 2 and out[1]["n_kept"] == 2
+    assert out[1]["dup_line_frac"] == 0.0
+    assert out[2]["n_lines"] == 2 and out[2]["n_kept"] == 0
+    assert out[2]["dup_line_frac"] == 1.0
+
+
+def test_line_dedup_within_doc_repeat_and_short_doc(spark):
+    # doc 1: same 12-token chunk twice -> second occurrence is a dup;
+    # doc 2: 3 tokens -> one short line, unique; doc 3: empty -> 0 lines
+    chunk = " ".join(f"t{i}" for i in range(12))
+    rows = [(1, chunk + " " + chunk), (2, "just three tokens"), (3, "")]
+    out = {r["doc_id"]: r for r in cu.line_dedup(_docs(spark, rows)).collect()}
+    assert out[1]["n_lines"] == 2 and out[1]["n_kept"] == 1
+    assert out[1]["dup_line_frac"] == 0.5
+    assert out[2]["n_lines"] == 1 and out[2]["n_kept"] == 1
+    assert out[3]["n_lines"] == 0 and out[3]["dup_line_frac"] == 0.0
+
+
+def test_line_dedup_plan_window_is_hash_partitioned(spark):
+    rows = [(i, _24_TOKENS + f" doc{i}") for i in range(40)]
+    plan = cu.line_dedup(_docs(spark, rows))._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# stratified_sample (deterministic mixture quotas)
+# ---------------------------------------------------------------------------
+
+def _mix_docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string"
+    )
+
+
+def test_stratified_sample_integer_quotas(spark):
+    # avail: en=4, es=2; weights 50/50 -> caps en 8, es 4 -> N=4 -> quota 2+2
+    rows = [(i, "x", "en", "s") for i in range(4)] + [
+        (10 + i, "x", "es", "s") for i in range(2)
+    ]
+    out = cu.stratified_sample(
+        _mix_docs(spark, rows), weights={"en": 50, "es": 50}
+    ).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert {k: len(v) for k, v in by_lang.items()} == {"en": 2, "es": 2}
+    assert all(r["samp_rank"] <= 2 for r in out)
+
+
+def test_stratified_sample_missing_stratum_empties_mix(spark):
+    # a weighted lang with zero availability caps N at 0 -> nothing sampled
+    rows = [(i, "x", "en", "s") for i in range(5)]
+    out = cu.stratified_sample(
+        _mix_docs(spark, rows), weights={"en": 50, "zh": 50}
+    ).collect()
+    assert out == []
+
+
+def test_stratified_sample_deterministic_and_excludes_unweighted(spark):
+    rows = [(i, "x", ["en", "fr"][i % 2], f"s{i % 3}") for i in range(30)]
+    w = {"en": 60, "fr": 40}
+    a = sorted(tuple(r) for r in cu.stratified_sample(_mix_docs(spark, rows), w).collect())
+    b = sorted(tuple(r) for r in cu.stratified_sample(_mix_docs(spark, rows), w).collect())
+    assert a == b and len(a) > 0
+    out = cu.stratified_sample(_mix_docs(spark, rows), weights={"en": 100}).collect()
+    assert {r["lang"] for r in out} == {"en"}

@@ -42,6 +42,8 @@ def test_gate_window_contract():
         "bm25_topk_incremental",  # r4: ≡ full-corpus bm25_topk oracle
         "phrase_search",          # r4: positional-postings phrase match
         "sitemap_parse",          # r4: sitemaps.org pure-codegen extract
+        "line_dedup",             # r4: CCNet line dedup, first-wins
+        "stratified_sample",      # r4: deterministic mixture sampler
     }
 
 

@@ -196,6 +196,209 @@ def pii_scrub_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Line-level dedup (CCNet-style first-occurrence-wins line removal)
+# ---------------------------------------------------------------------------
+
+LINE_TOKENS = 12  # synthetic "line" = 12-token chunk (corpus text has no \n)
+
+
+def _line_structs(text_col: Column, chunk: int) -> Column:
+    """Array of ``{li, h}`` structs: sequential ``chunk``-token slices of the
+    normalized token stream, each hashed with the oracle-portable hash60.
+
+    The parquet corpus is newline-free word soup, so "lines" are synthesized
+    as fixed token windows — the plan shape (explode → first-wins on the
+    line-hash key → per-doc rollup) is exactly CCNet's paragraph dedup and is
+    what must survive 100 TB; the line boundary rule is a pluggable detail.
+    """
+    tok = tokens(F.lower(clean_text(text_col)))
+    n_chunks = F.ceil(F.size(tok) / F.lit(chunk)).cast("int")
+    idx = F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        idx,
+        lambda i: F.struct(
+            i.alias("li"),
+            hash60(
+                F.array_join(F.slice(tok, i * chunk + 1, chunk), " ")
+            ).alias("h"),
+        ),
+    )
+
+
+def line_dedup(docs: DataFrame, chunk: int = LINE_TOKENS) -> DataFrame:
+    """CCNet-style corpus-wide line dedup accounting, first occurrence wins.
+
+    A line is *kept* iff its (hash60) key has not appeared earlier in the
+    corpus, "earlier" being the deterministic total order (doc_id, line_idx).
+    Output per document: ``n_lines``, ``n_kept``, ``dup_line_frac``.
+
+    Plan shape at 100 TB: ONE explode of per-doc line structs → ONE shuffle
+    on the 60-bit line hash (row_number window, partitioned by hash — never
+    a single-partition window) → ONE per-doc rollup. Text itself never
+    shuffles; only (doc_id, line_idx, hash) triples do.
+
+    The reference has no line dedup (its dedup is the per-URL seen set,
+    CrawlPaperTuoiTre.py:60-66); this follows the published CCNet recipe.
+    """
+    from pyspark.sql import Window
+
+    lines = docs.select(
+        "doc_id", F.explode(_line_structs(F.col("text"), chunk)).alias("s")
+    ).select("doc_id", F.col("s.li").alias("li"), F.col("s.h").alias("h"))
+    w = Window.partitionBy("h").orderBy("doc_id", "li")
+    ranked = lines.select(
+        "doc_id", (F.row_number().over(w) == 1).alias("kept")
+    )
+    per_doc = ranked.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("kept").cast("bigint")).alias("n_kept"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce("n_lines", F.lit(0)).cast("bigint").alias("n_lines"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.round(
+                (
+                    F.coalesce("n_lines", F.lit(0))
+                    - F.coalesce("n_kept", F.lit(0))
+                ).cast("double")
+                / F.greatest(F.coalesce("n_lines", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("dup_line_frac"),
+        )
+    )
+
+
+def line_dedup_sql(chunk: int = LINE_TOKENS) -> str:
+    tok = tokens_sql(f"lower({clean_text_sql('text')})")
+    h = hash60_sql(
+        f"array_to_string(tok[(i*{chunk}+1):(i*{chunk}+{chunk})], ' ')"
+    )
+    return f"""
+        WITH toks AS (SELECT doc_id, {tok} AS tok FROM documents),
+        lines AS (
+            SELECT doc_id, unnest(
+                list_transform(
+                    range(ceil(len(tok) / {chunk}.0)::BIGINT),
+                    i -> {{'li': i, 'h': {h}}}
+                )) AS s
+            FROM toks
+        ),
+        ranked AS (
+            SELECT doc_id,
+                   row_number() OVER (PARTITION BY s.h ORDER BY doc_id, s.li)
+                       = 1 AS kept
+            FROM lines
+        ),
+        per AS (
+            SELECT doc_id, count(*) AS n_lines,
+                   sum(CASE WHEN kept THEN 1 ELSE 0 END) AS n_kept
+            FROM ranked GROUP BY 1
+        )
+        SELECT d.doc_id,
+               coalesce(per.n_lines, 0)::BIGINT AS n_lines,
+               coalesce(per.n_kept, 0)::BIGINT AS n_kept,
+               round((coalesce(per.n_lines, 0) - coalesce(per.n_kept, 0))::DOUBLE
+                     / greatest(coalesce(per.n_lines, 0), 1), 6)
+                   AS dup_line_frac
+        FROM documents d LEFT JOIN per USING (doc_id)
+    """
+
+
+# ---------------------------------------------------------------------------
+# Stratified mixture sampling (deterministic data mixing)
+# ---------------------------------------------------------------------------
+
+# Target language mixture, integer parts-per-100 (integer arithmetic end to
+# end so Spark and DuckDB can never disagree on a rounded quota).
+MIX_WEIGHTS: dict[str, int] = {"en": 40, "zh": 20, "de": 15, "fr": 15, "es": 10}
+
+
+def stratified_sample(
+    docs: DataFrame, weights: dict[str, int] | None = None
+) -> DataFrame:
+    """Deterministic stratified sampler for training-data mixing.
+
+    Given integer mixture weights (parts per 100) over ``lang``, find the
+    largest total size N the corpus can supply at that mixture
+    (``N = min_l floor(avail_l * 100 / w_l)``), set per-stratum quotas
+    ``floor(w_l * N / 100)``, and keep each stratum's quota-many docs in
+    hash order (hash60(doc_id || ':mix'), doc_id) — a deterministic,
+    engine-portable "random" sample.
+
+    Plan shape at 100 TB: per-stratum counts are one map-side-combined
+    aggregate over ≤|langs| keys; the scalar N and the quota table are
+    broadcast back (broadcast-scalar crossJoin — the repo-sanctioned
+    pattern); ranking is a window partitioned by lang (never
+    single-partition; stratum skew is bounded by the stratum count, and a
+    hotter stratum would salt through operators/skew.py). Only
+    (doc_id, lang, source, hash) ever shuffles — no text movement.
+    """
+    w = weights or MIX_WEIGHTS
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    spine = spark.createDataFrame(
+        [(k, v) for k, v in sorted(w.items())], "lang string, w int"
+    )
+    counts = docs.groupBy("lang").agg(F.count("*").alias("c"))
+    caps = (
+        spine.join(counts, on="lang", how="left")
+        .select("lang", "w", F.coalesce("c", F.lit(0)).alias("c"))
+        .select("lang", "w", F.expr("c * 100 div w").alias("cap"))
+    )
+    nmax = caps.agg(F.min("cap").alias("n"))
+    quotas = caps.crossJoin(F.broadcast(nmax)).select(
+        "lang", F.expr("w * n div 100").alias("quota")
+    )
+    rank_w = Window.partitionBy("lang").orderBy(
+        hash60(F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))),
+        "doc_id",
+    )
+    ranked = (
+        docs.filter(F.col("lang").isin(*w))
+        .select("doc_id", "lang", "source")
+        .withColumn("samp_rank", F.row_number().over(rank_w))
+    )
+    return ranked.join(F.broadcast(quotas), on="lang").filter(
+        F.col("samp_rank") <= F.col("quota")
+    ).select("doc_id", "lang", "source", "samp_rank")
+
+
+def stratified_sample_sql(weights: dict[str, int] | None = None) -> str:
+    w = weights or MIX_WEIGHTS
+    vals = ", ".join(f"('{k}', {v})" for k, v in sorted(w.items()))
+    langs = ", ".join(f"'{k}'" for k in sorted(w))
+    h = hash60_sql("doc_id::VARCHAR || ':mix'")
+    return f"""
+        WITH wt(lang, w) AS (VALUES {vals}),
+        c AS (SELECT lang, count(*) AS c FROM documents GROUP BY 1),
+        caps AS (
+            SELECT wt.lang, wt.w, coalesce(c.c, 0) * 100 // wt.w AS cap
+            FROM wt LEFT JOIN c USING (lang)
+        ),
+        q AS (
+            SELECT lang, w * (SELECT min(cap) FROM caps) // 100 AS quota
+            FROM caps
+        ),
+        r AS (
+            SELECT doc_id, lang, source,
+                   row_number() OVER (
+                       PARTITION BY lang ORDER BY {h}, doc_id) AS samp_rank
+            FROM documents WHERE lang IN ({langs})
+        )
+        SELECT r.doc_id, r.lang, r.source, r.samp_rank::INT AS samp_rank
+        FROM r JOIN q USING (lang)
+        WHERE r.samp_rank <= q.quota
+    """
+
+
+# ---------------------------------------------------------------------------
 # Repetition statistics (Gopher-style repetition signals)
 # ---------------------------------------------------------------------------
 

@@ -161,6 +161,18 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.repetition_stats(_docs(spark, sf_dir))
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-wide line dedup, first occurrence wins (one
+    explode → one line-hash shuffle → one per-doc rollup)."""
+    return cu.line_dedup(_docs(spark, sf_dir))
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified mixture sampler (integer quotas, hash-order
+    per-stratum rank — the data-mixing stage of a training pipeline)."""
+    return cu.stratified_sample(_docs(spark, sf_dir))
+
+
 def q_dedup_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical representative per near-dup cluster: PageRank the
     MinHash-LSH pair graph, keep each cluster's highest-centrality member
@@ -1346,6 +1358,9 @@ def queries() -> dict[str, QueryFn]:
         # window (same pytest replica coverage as the rest of this block)
         "phrase_search": q_phrase_search,
         "sitemap_parse": q_sitemap_parse,
+        # r4: curation additions — oracled beyond the window (pytest replica)
+        "line_dedup": q_line_dedup,
+        "stratified_sample": q_stratified_sample,
         # rows-only (non-SQL: BLAS summation order / ML fit / UDF-stateful /
         # crawl fixpoint) — pytest-verified
         # (equality-to-oracled-twin / recall / simulator-equivalence).
@@ -1400,6 +1415,8 @@ def oracle_sql() -> dict[str, str]:
         # same oracle body as bm25_topk (the whole point of the check)
         "bm25_topk_incremental": se.bm25_topk_sql(k=10),
         "phrase_search": ph.phrase_search_sql(),
+        "line_dedup": cu.line_dedup_sql(),
+        "stratified_sample": cu.stratified_sample_sql(),
         "sitemap_parse": (
             "WITH " + SITEMAP_PARSE_SQL_BODIES + ", entries AS ("
             + sm.sitemap_entries_sql("bodies")
