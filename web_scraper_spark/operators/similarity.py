@@ -495,3 +495,76 @@ def lsh_ann_pairs_sql(
         JOIN {table} eb ON eb.vec_id = vec_b
         WHERE {cos} >= {tau}
     """
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup by within-cluster embedding similarity
+# ---------------------------------------------------------------------------
+
+def semdedup_within(assigned: DataFrame, eps: float = 0.95, row_chunk: int = 1024) -> DataFrame:
+    """Within-cell SemDeDup prune over a ``(cell, vec_id, arr)`` frame.
+
+    Rule (deterministic, parallel-friendly): a vector is DROPPED iff some
+    vector with a smaller vec_id in the SAME cell has cosine similarity
+    >= eps to it — "earlier wins", the embedding-space analogue of
+    dedup.exact_dedup's keep-first semantics. (The published SemDeDup
+    recipe keeps one member per duplicate group by distance-to-centroid;
+    the earlier-wins relaxation needs no second pass and keeps the same
+    asymptotics.)
+
+    Output per vector: ``cell``, ``max_prior_sim`` (max cosine to any
+    earlier in-cell vector; -1.0 — the cosine lower bound — for a cell's
+    first vector), ``kept``.
+
+    Plan shape at 100 TB: ONE shuffle on cell (applyInPandas), O(c²/2)
+    BLAS flops per cell with memory bounded by ``row_chunk`` matrix rows
+    regardless of cell size. Cell population is the quantizer's job:
+    n_cells grows ~N/target_cell_size, exactly the IVF sizing rule
+    (build_ivf_index); a degenerate hot cell is the same skew case as
+    lsh_ann_pairs' max_bucket and would be split by raising n_cells.
+
+    Rows-only (ML fit upstream + BLAS float path): numpy-twin equality
+    and partition invariance asserted in tests/test_semdedup.py.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        ids = pdf["vec_id"].to_numpy()
+        M = np.array(pdf["arr"].tolist(), dtype=np.float64)
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        n = len(ids)
+        max_prior = np.full(n, -1.0)
+        for s in range(1, n, row_chunk):
+            e = min(s + row_chunk, n)
+            S = M[s:e] @ M[:e].T  # rows s..e-1 vs ALL rows < e
+            for local, g in enumerate(range(s, e)):
+                max_prior[g] = S[local, :g].max()
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cell": pdf["cell"].to_numpy(),
+                "max_prior_sim": np.round(max_prior, 6),
+                "kept": max_prior < eps,
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(
+        per_cell, schema="vec_id bigint, cell int, max_prior_sim double, kept boolean"
+    )
+
+
+def semdedup(
+    emb: DataFrame, n_cells: int = 16, eps: float = 0.95, seed: int = 42
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means the embedding space, then
+    drop near-duplicate vectors within each cluster (semdedup_within).
+
+    The quantizer fit is build_ivf_index — the same persistable artifact
+    the ANN index uses, so a production pipeline fits k-means ONCE and
+    feeds both the search index and the semantic dedup pass from it.
+    The reference has no embedding tier at all (its dedup is the per-URL
+    seen set, CrawlPaperTuoiTre.py:60-66)."""
+    assigned, _ = build_ivf_index(emb, n_cells=n_cells, seed=seed)
+    return semdedup_within(assigned, eps=eps)

@@ -353,6 +353,14 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(_emb(spark, sf_dir), n_queries=5, k=10, n_cells=16, n_probe=4)
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: k-means the embeddings (the IVF quantizer fit, reused),
+    then earlier-wins near-duplicate prune within each cluster — rows-only
+    (ML fit + BLAS); numpy-twin equality + partition invariance asserted
+    in tests/test_semdedup.py."""
+    return sim.semdedup(_emb(spark, sf_dir), n_cells=16, eps=0.95)
+
+
 def q_near_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked exact cosine pairs at a tighter threshold (tau 0.35) via
     the distributed block-pair plan — r1's version collected the whole
@@ -1367,6 +1375,7 @@ def queries() -> dict[str, QueryFn]:
         "ann_topk_blocked": q_ann_topk_blocked,
         "near_pairs_blocked": q_near_pairs_blocked,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "semdedup": q_semdedup,
         "ner_entities": q_ner_entities,
         "sessionize_stream": q_sessionize_stream,
         "crawl_fetch_log": q_crawl_fetch_log,
