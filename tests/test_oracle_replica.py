@@ -44,6 +44,7 @@ def test_gate_window_contract():
         "sitemap_parse",          # r4: sitemaps.org pure-codegen extract
         "line_dedup",             # r4: CCNet line dedup, first-wins
         "stratified_sample",      # r4: deterministic mixture sampler
+        "warc_parse",             # r4: WARC codegen parse tier roundtrip
     }
 
 

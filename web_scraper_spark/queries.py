@@ -25,6 +25,7 @@ from web_scraper_spark.operators import curation as cu
 from web_scraper_spark.operators import dedup as dd
 from web_scraper_spark.operators import multimodal as mm
 from web_scraper_spark.frontier import sitemap as sm
+from web_scraper_spark.sources import warc as wa
 from web_scraper_spark.operators import phrase as ph
 from web_scraper_spark.operators import search as se
 from web_scraper_spark.operators import similarity as sim
@@ -1160,6 +1161,75 @@ def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sitemap_entries(leaves.unionByName(index))
 
 
+def warc_archives_df(docs: DataFrame) -> DataFrame:
+    """Deterministic per-source WARC archives synthesized from documents
+    (the Spark half; WARC_SQL_BODIES is the value-identical DuckDB half).
+    One archive body per source, records in doc_id order — the Common
+    Crawl sharding unit."""
+    date = F.concat(
+        F.lit("2025-12-"),
+        F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+        F.lit("T"),
+        F.lpad((F.col("doc_id") % 24).cast("string"), 2, "0"),
+        F.lit(":00:00Z"),
+    )
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    rec = wa.warc_record(url, date, F.col("text"))
+
+    def _rec_of(x):
+        return x["rec"]
+
+    return (
+        docs.select("source", "doc_id", rec.alias("rec"))
+        .groupBy("source")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "rec"))),
+                    _rec_of,
+                ),
+                "",
+            ).alias("body")
+        )
+        .select(F.concat(F.col("source"), F.lit(".warc")).alias("archive"), "body")
+    )
+
+
+_WARC_URL_SQL = "'https://' || source || '.example.com/doc/' || doc_id::VARCHAR"
+_WARC_DATE_SQL = (
+    "'2025-12-' || lpad((doc_id % 28 + 1)::VARCHAR, 2, '0') || 'T' "
+    "|| lpad((doc_id % 24)::VARCHAR, 2, '0') || ':00:00Z'"
+)
+WARC_SQL_BODIES = f"""
+    recs AS (
+        SELECT source, doc_id,
+               {wa.warc_record_sql(_WARC_URL_SQL, _WARC_DATE_SQL, 'text')} AS rec
+        FROM documents),
+    bodies AS (
+        SELECT source || '.warc' AS archive,
+               string_agg(rec, '' ORDER BY doc_id) AS body
+        FROM recs GROUP BY source)
+"""
+
+
+def q_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC codegen parse tier over per-source synthesized archives:
+    record split + typed field extracts + Content-Length cross-check,
+    zero Python in the plan (sources/warc.py)."""
+    return wa.warc_entries(warc_archives_df(_docs(spark, sf_dir)))
+
+
+def q_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL byte-walk WARC parser (Content-Length jumps) over the same
+    archives — rows-only (imperative mapInPandas); equality with the
+    codegen tier on clean payloads + decoy robustness asserted in
+    tests/test_warc.py."""
+    return wa.warc_records_stream(warc_archives_df(_docs(spark, sf_dir)))
+
+
 SITEMAP_PARSE_SQL_BODIES = """
     src AS (SELECT * FROM documents WHERE doc_id % 25 = 0),
     frags AS (
@@ -1369,6 +1439,8 @@ def queries() -> dict[str, QueryFn]:
         # r4: curation additions — oracled beyond the window (pytest replica)
         "line_dedup": q_line_dedup,
         "stratified_sample": q_stratified_sample,
+        # r4: WARC container roundtrip — oracled beyond the window
+        "warc_parse": q_warc_parse,
         # rows-only (non-SQL: BLAS summation order / ML fit / UDF-stateful /
         # crawl fixpoint) — pytest-verified
         # (equality-to-oracled-twin / recall / simulator-equivalence).
@@ -1376,6 +1448,7 @@ def queries() -> dict[str, QueryFn]:
         "near_pairs_blocked": q_near_pairs_blocked,
         "ann_ivf_topk": q_ann_ivf_topk,
         "semdedup": q_semdedup,
+        "warc_records": q_warc_records,
         "ner_entities": q_ner_entities,
         "sessionize_stream": q_sessionize_stream,
         "crawl_fetch_log": q_crawl_fetch_log,
@@ -1426,6 +1499,11 @@ def oracle_sql() -> dict[str, str]:
         "phrase_search": ph.phrase_search_sql(),
         "line_dedup": cu.line_dedup_sql(),
         "stratified_sample": cu.stratified_sample_sql(),
+        "warc_parse": (
+            "WITH " + WARC_SQL_BODIES + ", entries AS ("
+            + wa.warc_entries_sql("bodies")
+            + ") SELECT * FROM entries"
+        ),
         "sitemap_parse": (
             "WITH " + SITEMAP_PARSE_SQL_BODIES + ", entries AS ("
             + sm.sitemap_entries_sql("bodies")
