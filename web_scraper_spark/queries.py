@@ -362,6 +362,16 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.semdedup(_emb(spark, sf_dir), n_cells=16, eps=0.95)
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained quality filter (CCNet-style model stage): Spark ML logistic
+    regression over codegen features, fit on clean-vs-corrupted twins,
+    scoring the held-out split — rows-only (ML fit); held-out accuracy
+    floors asserted in tests/test_quality_clf.py."""
+    from web_scraper_spark.pipeline.quality_clf import quality_classifier
+
+    return quality_classifier(_docs(spark, sf_dir))
+
+
 def q_near_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked exact cosine pairs at a tighter threshold (tau 0.35) via
     the distributed block-pair plan — r1's version collected the whole
@@ -1449,6 +1459,7 @@ def queries() -> dict[str, QueryFn]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "semdedup": q_semdedup,
         "warc_records": q_warc_records,
+        "quality_classifier": q_quality_classifier,
         "ner_entities": q_ner_entities,
         "sessionize_stream": q_sessionize_stream,
         "crawl_fetch_log": q_crawl_fetch_log,
