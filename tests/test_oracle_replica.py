@@ -45,6 +45,7 @@ def test_gate_window_contract():
         "line_dedup",             # r4: CCNet line dedup, first-wins
         "stratified_sample",      # r4: deterministic mixture sampler
         "warc_parse",             # r4: WARC codegen parse tier roundtrip
+        "lm_perplexity",          # r4: relational bigram-LM CCNet stage
     }
 
 

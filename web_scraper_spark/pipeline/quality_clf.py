@@ -116,15 +116,25 @@ def fit_quality_clf(train_docs: DataFrame):
 
 
 def score_quality(model, docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """doc_id, prob_clean, pred for any documents frame (scan-speed
-    featurization + one broadcast-coefficient dot product)."""
-    from pyspark.ml.functions import vector_to_array
+    """doc_id, prob_clean, pred for any documents frame.
 
-    scored = model.transform(_with_vector(feature_frame(docs, text_col)))
-    return scored.select(
+    The fitted artifact is 7 doubles (6 coefficients + intercept), so
+    scoring is a pure-codegen sigmoid over the feature projection — NOT
+    ``model.transform`` (which ships the model object into tasks; its
+    training summary pins the SparkSession and is not task-serializable
+    in a shared session) — i.e. the whole score path runs at scan speed
+    with zero Python and zero JVM object shipping."""
+    coef = [float(c) for c in model.coefficients]
+    b = float(model.intercept)
+    feat = feature_frame(docs, text_col)
+    z = F.lit(b)
+    for i, w in enumerate(coef):
+        z = z + F.lit(w) * F.col("farr")[i]
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return feat.select(
         "doc_id",
-        F.round(vector_to_array("probability")[1], 6).alias("prob_clean"),
-        F.col("prediction").cast("int").alias("pred"),
+        F.round(prob, 6).alias("prob_clean"),
+        (prob >= 0.5).cast("int").alias("pred"),
     )
 
 

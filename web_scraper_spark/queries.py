@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from web_scraper_spark.operators import analytics as an
 from web_scraper_spark.operators import curation as cu
+from web_scraper_spark.operators import lm as lmod
 from web_scraper_spark.operators import dedup as dd
 from web_scraper_spark.operators import multimodal as mm
 from web_scraper_spark.frontier import sitemap as sm
@@ -360,6 +361,13 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ML fit + BLAS); numpy-twin equality + partition invariance asserted
     in tests/test_semdedup.py."""
     return sim.semdedup(_emb(spark, sf_dir), n_cells=16, eps=0.95)
+
+
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet LM stage: add-k bigram perplexity per doc + head/middle/tail
+    thirds — fully relational, so the trained-model stage is value-exact
+    DuckDB-oracled (operators/lm.py)."""
+    return lmod.lm_perplexity(_docs(spark, sf_dir))
 
 
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1451,6 +1459,8 @@ def queries() -> dict[str, QueryFn]:
         "stratified_sample": q_stratified_sample,
         # r4: WARC container roundtrip — oracled beyond the window
         "warc_parse": q_warc_parse,
+        # r4: relational bigram-LM perplexity (CCNet stage) — oracled
+        "lm_perplexity": q_lm_perplexity,
         # rows-only (non-SQL: BLAS summation order / ML fit / UDF-stateful /
         # crawl fixpoint) — pytest-verified
         # (equality-to-oracled-twin / recall / simulator-equivalence).
@@ -1515,6 +1525,7 @@ def oracle_sql() -> dict[str, str]:
             + wa.warc_entries_sql("bodies")
             + ") SELECT * FROM entries"
         ),
+        "lm_perplexity": lmod.lm_perplexity_sql(),
         "sitemap_parse": (
             "WITH " + SITEMAP_PARSE_SQL_BODIES + ", entries AS ("
             + sm.sitemap_entries_sql("bodies")
