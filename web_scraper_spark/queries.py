@@ -370,6 +370,16 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lmod.lm_perplexity(_docs(spark, sf_dir))
 
 
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained BPE tokenizer: merges learned from the train split's
+    word-frequency table (Sennrich recipe), applied in one Arrow pass —
+    rows-only (trained model; roundtrip/determinism/hand-computed-merge
+    tests in tests/test_bpe.py)."""
+    from web_scraper_spark.pipeline.bpe import bpe_tokens
+
+    return bpe_tokens(_docs(spark, sf_dir))
+
+
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained quality filter (CCNet-style model stage): Spark ML logistic
     regression over codegen features, fit on clean-vs-corrupted twins,
@@ -1470,6 +1480,7 @@ def queries() -> dict[str, QueryFn]:
         "semdedup": q_semdedup,
         "warc_records": q_warc_records,
         "quality_classifier": q_quality_classifier,
+        "bpe_tokens": q_bpe_tokens,
         "ner_entities": q_ner_entities,
         "sessionize_stream": q_sessionize_stream,
         "crawl_fetch_log": q_crawl_fetch_log,
