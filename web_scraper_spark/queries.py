@@ -370,6 +370,83 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lmod.lm_perplexity(_docs(spark, sf_dir))
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE full training-data pipeline as one DataFrame program — every
+    curation tier composed in production order, per-doc disposition out:
+
+        quality gate (C4 heuristics, score ≥ 0.55)
+        → LM perplexity filter (drop the 'tail' third — CCNet)
+        → exact dedup (content-hash keep-first)
+        → near-dup removal (MinHash-LSH clusters, keep representative)
+        → stratified language mixing (integer quotas)
+        → BPE token budget for the surviving mix
+
+    Output: doc_id, drop_reason (first failing stage, NULL = kept),
+    n_bpe_tokens (survivors only). Rows-only (composes the trained BPE
+    tier); per-stage consistency vs the individual oracled queries is
+    asserted in tests/test_curation_pipeline.py.
+    """
+    from pyspark.sql import Window
+
+    from web_scraper_spark.operators.text import clean_text as _ct
+    from web_scraper_spark.pipeline import bpe as _bpe
+
+    docs = _docs(spark, sf_dir)
+    q = quality_columns("text")
+    flags = docs.select(
+        "doc_id", "lang", "source", "text", q["quality_score"].alias("qs")
+    )
+
+    lm_bucket = lmod.lm_perplexity(docs).select("doc_id", "bucket")
+
+    hash_w = Window.partitionBy("chash")
+    exact = docs.select(
+        "doc_id", F.md5(F.lower(_ct(F.col("text")))).alias("chash")
+    ).select(
+        "doc_id",
+        (F.col("doc_id") != F.min("doc_id").over(hash_w)).alias("exact_dup"),
+    )
+
+    near_drop = (
+        dd.dedup_clusters(dd.minhash_lsh_pairs(docs, tau=0.4))
+        .where(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id", F.lit(True).alias("near_dup"))
+    )
+
+    staged = (
+        flags.join(lm_bucket, on="doc_id", how="left")
+        .join(exact, on="doc_id")
+        .join(near_drop, on="doc_id", how="left")
+        .select(
+            "doc_id", "lang", "source", "text",
+            F.when(F.col("qs") < 0.55, "quality")
+            .when(F.coalesce(F.col("bucket"), F.lit("tail")) == "tail", "lm_tail")
+            .when(F.col("exact_dup"), "exact_dup")
+            .when(F.coalesce(F.col("near_dup"), F.lit(False)), "near_dup")
+            .alias("drop_reason"),
+        )
+    )
+    survivors = staged.filter(F.col("drop_reason").isNull())
+    sampled = cu.stratified_sample(survivors).select(
+        "doc_id", F.lit(True).alias("in_mix")
+    )
+    final = staged.join(sampled, on="doc_id", how="left").select(
+        "doc_id", "lang", "source", "text",
+        F.coalesce(
+            "drop_reason",
+            F.when(~F.coalesce(F.col("in_mix"), F.lit(False)), "not_sampled"),
+        ).alias("drop_reason"),
+    )
+    kept = final.filter(F.col("drop_reason").isNull()).select(
+        "doc_id", "lang", "source", "text"
+    )
+    budget = _bpe.bpe_tokens(kept).select("doc_id", "n_bpe_tokens")
+    return (
+        final.join(budget, on="doc_id", how="left")
+        .select("doc_id", "drop_reason", "n_bpe_tokens")
+    )
+
+
 def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained BPE tokenizer: merges learned from the train split's
     word-frequency table (Sennrich recipe), applied in one Arrow pass —
@@ -1481,6 +1558,7 @@ def queries() -> dict[str, QueryFn]:
         "warc_records": q_warc_records,
         "quality_classifier": q_quality_classifier,
         "bpe_tokens": q_bpe_tokens,
+        "curation_pipeline": q_curation_pipeline,
         "ner_entities": q_ner_entities,
         "sessionize_stream": q_sessionize_stream,
         "crawl_fetch_log": q_crawl_fetch_log,
