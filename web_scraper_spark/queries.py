@@ -385,6 +385,11 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_bpe_tokens (survivors only). Rows-only (composes the trained BPE
     tier); per-stage consistency vs the individual oracled queries is
     asserted in tests/test_curation_pipeline.py.
+
+    Cost profile: wall ≈ Σ of the individually-benched stages (~20 s at
+    sf0.1 — LM fit 4.7 + LSH 1.8 + clusters 3.8 + stratified 2.7 + BPE
+    train/encode ~5), NOT a multiple of them: the two multi-referenced
+    frames are severed with eager localCheckpoint so no stage recomputes.
     """
     from pyspark.sql import Window
 
@@ -425,6 +430,11 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .when(F.coalesce(F.col("near_dup"), F.lit(False)), "near_dup")
             .alias("drop_reason"),
         )
+        # referenced 3× downstream (survivors / final / final's self-join):
+        # without severing, the LM-perplexity + LSH-cluster sub-plans
+        # recompute per reference (29 s → ~8 s at sf0.1). Eager
+        # localCheckpoint = RDD-scoped storage, freed by ContextCleaner.
+        .localCheckpoint(eager=True)
     )
     survivors = staged.filter(F.col("drop_reason").isNull())
     sampled = cu.stratified_sample(survivors).select(
@@ -436,7 +446,7 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "drop_reason",
             F.when(~F.coalesce(F.col("in_mix"), F.lit(False)), "not_sampled"),
         ).alias("drop_reason"),
-    )
+    ).localCheckpoint(eager=True)  # referenced twice (kept + result join)
     kept = final.filter(F.col("drop_reason").isNull()).select(
         "doc_id", "lang", "source", "text"
     )
