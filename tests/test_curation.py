@@ -220,3 +220,67 @@ def test_stratified_sample_deterministic_and_excludes_unweighted(spark):
     assert a == b and len(a) > 0
     out = cu.stratified_sample(_mix_docs(spark, rows), weights={"en": 100}).collect()
     assert {r["lang"] for r in out} == {"en"}
+
+
+# ---------------------------------------------------------------------------
+# dup_spans (substring-level dedup accounting, Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+_W = "w%d"  # distinct filler vocabulary per position
+
+
+def _words(n, start=0, tag=""):
+    return " ".join(f"{tag}w{start + i}" for i in range(n))
+
+
+def test_dup_spans_shared_passage_exact_extent(spark):
+    # a 12-token passage shared by two otherwise-unique docs: with k=8 the
+    # duplicated anchors are positions of grams fully inside the passage,
+    # so the reported span covers exactly the 12 shared tokens in each doc
+    passage = _words(12, tag="shared_")
+    rows = [
+        (1, _words(10, tag="a_") + " " + passage + " " + _words(10, tag="b_")),
+        (2, _words(10, tag="c_") + " " + passage + " " + _words(10, tag="d_")),
+    ]
+    out = {r["doc_id"]: r for r in cu.dup_spans(_docs(spark, rows)).collect()}
+    for d in (1, 2):
+        assert out[d]["n_tokens"] == 32
+        assert out[d]["n_spans"] == 1
+        assert out[d]["dup_tokens"] == 12
+        assert out[d]["longest_span"] == 12
+        assert abs(out[d]["dup_frac"] - 12 / 32) < 1e-9
+
+
+def test_dup_spans_within_doc_repeat_and_clean_docs(spark):
+    # repetition of an 8-gram WITHIN one globally-unique doc still counts
+    # (count>=2 is corpus-wide, including same-doc); clean docs report zeros
+    block = _words(8, tag="rep_")
+    rows = [
+        (1, block + " " + _words(5, tag="mid_") + " " + block),
+        (2, _words(20, tag="clean_")),
+        (3, "short doc"),  # < k tokens: zero grams, zero spans
+    ]
+    out = {r["doc_id"]: r for r in cu.dup_spans(_docs(spark, rows)).collect()}
+    assert out[1]["n_spans"] == 2  # the two copies are > k apart -> 2 islands
+    assert out[1]["dup_tokens"] == 16 and out[1]["longest_span"] == 8
+    assert out[2]["n_spans"] == 0 and out[2]["dup_tokens"] == 0
+    assert out[2]["dup_frac"] == 0.0
+    assert out[3]["n_tokens"] == 2 and out[3]["n_spans"] == 0
+
+
+def test_dup_spans_adjacent_windows_merge_into_one_island(spark):
+    # two anchors exactly k apart produce touching windows -> ONE span of 2k
+    body = _words(16, tag="dbl_")  # 16 tokens = anchors at 0..8; dup'ing the
+    rows = [(1, body), (2, body)]  # whole doc -> one island covering all 16
+    out = {r["doc_id"]: r for r in cu.dup_spans(_docs(spark, rows)).collect()}
+    assert out[1]["n_spans"] == 1
+    assert out[1]["dup_tokens"] == 16 and out[1]["dup_frac"] == 1.0
+
+
+def test_dup_spans_plan_no_text_shuffle_no_single_partition_window(spark):
+    rows = [(i, _words(30, tag=f"d{i}_")) for i in range(8)]
+    df = cu.dup_spans(_docs(spark, rows))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # both windows are partitioned by doc_id — never a global sort
+    assert "SinglePartition" not in plan

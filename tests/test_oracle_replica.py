@@ -46,6 +46,7 @@ def test_gate_window_contract():
         "stratified_sample",      # r4: deterministic mixture sampler
         "warc_parse",             # r4: WARC codegen parse tier roundtrip
         "lm_perplexity",          # r4: relational bigram-LM CCNet stage
+        "dup_spans",              # r4: substring-dedup spans (Lee et al.)
     }
 
 

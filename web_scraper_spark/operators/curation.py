@@ -512,3 +512,157 @@ def repetition_stats_sql() -> str:
         LEFT JOIN a2 USING (doc_id)
         LEFT JOIN a3 USING (doc_id)
     """
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-span detection (exact substring dedup, Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+SPAN_NGRAM = 8  # a span is duplicated if covered by a repeated 8-token gram
+
+
+def dup_spans(docs: DataFrame, k: int = SPAN_NGRAM) -> DataFrame:
+    """Exact substring-level dedup accounting ("Deduplicating Training Data
+    Makes Language Models Better", Lee et al. 2022): find, per document, the
+    maximal token spans covered by some ``k``-gram that occurs more than once
+    anywhere in the corpus (including elsewhere in the same document). This
+    is the span granularity between doc-level exact dedup (operators/dedup.py)
+    and CCNet line dedup (``line_dedup``): boilerplate banners, quoted
+    passages and templated paragraphs surface as spans even when the
+    documents containing them are globally unique.
+
+    Published implementations build a corpus suffix array; the Spark-native
+    equivalent replaces it with the gram-anchor formulation — every repeated
+    substring of length >= k is exactly a run of repeated k-grams at unit
+    stride, so maximal duplicated spans are recoverable relationally:
+
+    1. one posexplode of per-doc k-grams -> ``(doc_id, pos, hash60(gram))``;
+    2. duplicated-gram membership via ``count(*) over (partition by h) >=
+       2`` — the line_dedup idiom: ONE shuffle of the triples on the gram
+       key and the membership test rides it, instead of a groupBy plus a
+       join back that would re-run the interpreted shingle HOF over the
+       whole corpus a second time (CLAUDE.md multi-reference invariant).
+       Membership only, no pair formation, so no max_df cap is needed (a
+       gram seen a billion times is still one key, one window group);
+    3. gaps-and-islands per document: anchor positions p and q (q > p)
+       belong to one span iff ``q - p <= k`` (their k-token windows overlap
+       or touch), detected with lag + running sum over a window partitioned
+       by ``doc_id`` — never a single-partition window;
+    4. per-island extents (``span_start = min(p)``, ``span_end =
+       max(p)+k-1``) -> one per-doc rollup joined onto the doc spine.
+
+    Text never shuffles — only ``(doc_id, pos, h)`` triples; both shuffles
+    (gram key, then doc_id) carry 20-byte rows. Output per document:
+    ``n_tokens``, ``n_spans``, ``dup_tokens`` (tokens inside duplicated
+    spans), ``longest_span``, ``dup_frac``; docs shorter than ``k`` tokens
+    or with no repeated gram report zeros.
+
+    The reference dedups only whole URLs (CrawlPaperTuoiTre.py:60-66); this
+    is the published substring recipe its training-data consumers need.
+    """
+    from pyspark.sql import Window
+
+    from web_scraper_spark.operators.dedup import _fan_out
+
+    tok = tokens(F.lower(clean_text(F.col("text"))))
+    grams = _fan_out(docs.select("doc_id", "text")).select(
+        "doc_id", F.posexplode(word_shingles(tok, k)).alias("pos", "g")
+    ).select("doc_id", "pos", hash60(F.col("g")).alias("h"))
+    anchors = (
+        grams.withColumn("c", F.count("*").over(Window.partitionBy("h")))
+        .filter(F.col("c") >= 2)
+        .select("doc_id", "pos")
+    )
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    marked = anchors.select(
+        "doc_id",
+        "pos",
+        F.when(F.col("pos") - F.lag("pos").over(w) <= k, F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("brk"),
+    )
+    islands = marked.select(
+        "doc_id",
+        "pos",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("isl"),
+    )
+    spans = islands.groupBy("doc_id", "isl").agg(
+        (F.max("pos") + k - F.min("pos")).cast("bigint").alias("span_len")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_spans"),
+        F.sum("span_len").cast("bigint").alias("dup_tokens"),
+        F.max("span_len").cast("bigint").alias("longest_span"),
+    )
+    spine = docs.select(
+        "doc_id", F.size(tok).cast("bigint").alias("n_tokens")
+    )
+    return (
+        spine.join(per_doc, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias("dup_tokens"),
+            F.coalesce("longest_span", F.lit(0)).cast("bigint").alias("longest_span"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0)).cast("double")
+                / F.greatest(F.col("n_tokens"), F.lit(1)),
+                6,
+            ).alias("dup_frac"),
+        )
+    )
+
+
+def dup_spans_sql(k: int = SPAN_NGRAM) -> str:
+    tok = tokens_sql(f"lower({clean_text_sql('text')})")
+    h = hash60_sql(f"array_to_string(tok[i:i+{k - 1}], ' ')")
+    return f"""
+        WITH toks AS (SELECT doc_id, {tok} AS tok FROM documents),
+        grams AS (
+            SELECT doc_id, s.pos AS pos, s.h AS h
+            FROM (
+                SELECT doc_id, unnest(
+                    CASE WHEN len(tok) < {k} THEN [] ELSE
+                        list_transform(
+                            generate_series(1, len(tok) - {k - 1}),
+                            i -> {{'pos': i - 1, 'h': {h}}})
+                    END) AS s
+                FROM toks
+            )
+        ),
+        dup_keys AS (SELECT h FROM grams GROUP BY 1 HAVING count(*) >= 2),
+        anchors AS (SELECT doc_id, pos FROM grams SEMI JOIN dup_keys USING (h)),
+        marked AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos - lag(pos) OVER (
+                       PARTITION BY doc_id ORDER BY pos) <= {k}
+                   THEN 0 ELSE 1 END AS brk
+            FROM anchors
+        ),
+        islands AS (
+            SELECT doc_id, pos,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS UNBOUNDED PRECEDING) AS isl
+            FROM marked
+        ),
+        spans AS (
+            SELECT doc_id, isl, (max(pos) + {k} - min(pos))::BIGINT AS span_len
+            FROM islands GROUP BY 1, 2
+        ),
+        per AS (
+            SELECT doc_id, count(*)::BIGINT AS n_spans,
+                   sum(span_len)::BIGINT AS dup_tokens,
+                   max(span_len)::BIGINT AS longest_span
+            FROM spans GROUP BY 1
+        )
+        SELECT t.doc_id,
+               len(t.tok)::BIGINT AS n_tokens,
+               coalesce(per.n_spans, 0)::BIGINT AS n_spans,
+               coalesce(per.dup_tokens, 0)::BIGINT AS dup_tokens,
+               coalesce(per.longest_span, 0)::BIGINT AS longest_span,
+               round(coalesce(per.dup_tokens, 0)::DOUBLE
+                     / greatest(len(t.tok), 1), 6) AS dup_frac
+        FROM toks t LEFT JOIN per USING (doc_id)
+    """

@@ -175,6 +175,13 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.stratified_sample(_docs(spark, sf_dir))
 
 
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level dedup accounting (Lee et al. 2022): per-doc
+    maximal token spans covered by a corpus-repeated 8-gram (gram-anchor
+    formulation of the suffix-array recipe — see operators/curation.py)."""
+    return cu.dup_spans(_docs(spark, sf_dir))
+
+
 def q_dedup_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical representative per near-dup cluster: PageRank the
     MinHash-LSH pair graph, keep each cluster's highest-centrality member
@@ -1558,6 +1565,8 @@ def queries() -> dict[str, QueryFn]:
         "warc_parse": q_warc_parse,
         # r4: relational bigram-LM perplexity (CCNet stage) — oracled
         "lm_perplexity": q_lm_perplexity,
+        # r4: substring-level dedup spans (Lee et al. 2022) — oracled
+        "dup_spans": q_dup_spans,
         # rows-only (non-SQL: BLAS summation order / ML fit / UDF-stateful /
         # crawl fixpoint) — pytest-verified
         # (equality-to-oracled-twin / recall / simulator-equivalence).
@@ -1625,6 +1634,7 @@ def oracle_sql() -> dict[str, str]:
             + ") SELECT * FROM entries"
         ),
         "lm_perplexity": lmod.lm_perplexity_sql(),
+        "dup_spans": cu.dup_spans_sql(),
         "sitemap_parse": (
             "WITH " + SITEMAP_PARSE_SQL_BODIES + ", entries AS ("
             + sm.sitemap_entries_sql("bodies")
