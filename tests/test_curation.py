@@ -284,3 +284,49 @@ def test_dup_spans_plan_no_text_shuffle_no_single_partition_window(spark):
     assert "CartesianProduct" not in plan
     # both windows are partitioned by doc_id — never a global sort
     assert "SinglePartition" not in plan
+
+
+# ---------------------------------------------------------------------------
+# strip_dup_spans (first-wins substring removal, Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+
+def test_strip_dup_spans_keeps_corpus_first_occurrence(spark):
+    # a shared 12-token passage survives only in the lowest-doc_id host
+    passage = _words(12, tag="shared_")
+    rows = [
+        (1, _words(10, tag="a_") + " " + passage),
+        (2, _words(10, tag="c_") + " " + passage + " " + _words(10, tag="d_")),
+    ]
+    out = {r["doc_id"]: r for r in cu.strip_dup_spans(_docs(spark, rows)).collect()}
+    assert out[1]["n_removed"] == 0 and passage in out[1]["text_clean"]
+    assert out[2]["n_removed"] == 12 and passage not in out[2]["text_clean"]
+    assert out[2]["text_clean"] == _words(10, tag="c_") + " " + _words(10, tag="d_")
+
+
+def test_strip_dup_spans_within_doc_repeat_keeps_first_copy(spark):
+    block = _words(8, tag="rep_")
+    rows = [(1, block + " " + _words(5, tag="mid_") + " " + block)]
+    out = cu.strip_dup_spans(_docs(spark, rows)).collect()[0]
+    assert out["n_removed"] == 8
+    assert out["text_clean"] == block + " " + _words(5, tag="mid_")
+
+
+def test_strip_dup_spans_case_insensitive_match_original_case_output(spark):
+    # grams match case-insensitively; the survivor keeps its original case
+    passage = _words(9, tag="Mixed_")
+    rows = [
+        (1, passage),                      # first occurrence, mixed case
+        (2, passage.lower() + " " + _words(9, tag="tail_")),  # lower copy
+    ]
+    out = {r["doc_id"]: r for r in cu.strip_dup_spans(_docs(spark, rows)).collect()}
+    assert out[1]["n_removed"] == 0 and out[1]["text_clean"] == passage
+    assert out[2]["n_removed"] == 9
+    assert out[2]["text_clean"] == _words(9, tag="tail_")
+
+
+def test_strip_dup_spans_empty_and_short_docs(spark):
+    rows = [(1, ""), (2, "just a few words")]
+    out = {r["doc_id"]: r for r in cu.strip_dup_spans(_docs(spark, rows)).collect()}
+    assert out[1]["n_tokens"] == 0 and out[1]["text_clean"] == ""
+    assert out[2]["n_removed"] == 0 and out[2]["text_clean"] == "just a few words"

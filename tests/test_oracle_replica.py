@@ -47,6 +47,7 @@ def test_gate_window_contract():
         "warc_parse",             # r4: WARC codegen parse tier roundtrip
         "lm_perplexity",          # r4: relational bigram-LM CCNet stage
         "dup_spans",              # r4: substring-dedup spans (Lee et al.)
+        "strip_dup_spans",        # r4: first-wins span removal transform
     }
 
 

@@ -666,3 +666,179 @@ def dup_spans_sql(k: int = SPAN_NGRAM) -> str:
                      / greatest(len(t.tok), 1), 6) AS dup_frac
         FROM toks t LEFT JOIN per USING (doc_id)
     """
+
+
+def strip_dup_spans(docs: DataFrame, k: int = SPAN_NGRAM) -> DataFrame:
+    """The Lee et al. 2022 exact-substring dedup as a TRANSFORMATION:
+    rewrite every document with the duplicated spans removed, keeping only
+    the corpus-first occurrence of each repeated ``k``-gram (``dup_spans``
+    is the accounting twin; this one produces the cleaned training text).
+
+    First-wins is the deterministic total order (doc_id, pos): for each
+    gram key the earliest anchor survives, every later occurrence marks
+    its k-token window for removal — so a passage shared by N documents
+    survives once (in the lowest-doc_id host), and a within-document
+    repeat keeps its first copy. The anchor rank is a ``row_number`` over
+    the gram-key window riding the SAME single hash shuffle as
+    ``dup_spans``'s membership count (rank > 1 ⟺ duplicated-and-not-first;
+    the interpreted shingle HOF still runs exactly once over the corpus).
+
+    Removal is token-granular and fully relational — text reassembly is
+    the only stage where token text itself shuffles (inherent to any
+    rewrite), and it shuffles exactly once, co-partitioned on doc_id:
+
+    1. dup anchors (rank > 1) -> gaps-and-islands -> per-doc spans
+       (start, end) exactly as in ``dup_spans``;
+    2. spans -> ``explode(sequence(start, end))`` -> the distinct
+       (doc_id, idx) removed-token set (distinct is needed only across
+       islands, which never overlap, so it is a no-op dedup kept for
+       safety — co-partitioned with the token side);
+    3. tokens posexploded to (doc_id, pos, tok) LEFT ANTI JOIN the
+       removed set on (doc_id, pos) — both sides hash-partitioned the
+       same way;
+    4. one groupBy(doc_id) reassembly: ``array_sort(collect_list(
+       struct(pos, tok)))`` then a projection transform + concat_ws — the
+       engine-portable ordered string_agg.
+
+    Gram matching is case-insensitive (lowered, like ``dup_spans``);
+    the reassembled text preserves the ORIGINAL token case — positions
+    align because lowering never changes whitespace. Output per document:
+    ``n_tokens``, ``n_removed``, ``text_clean`` (cleaned original-case
+    text, '' when everything was removed or the doc was empty).
+
+    The reference dedups only whole URLs (CrawlPaperTuoiTre.py:60-66).
+    """
+    from pyspark.sql import Window
+
+    from web_scraper_spark.operators.dedup import _fan_out
+
+    tok_orig = tokens(clean_text(F.col("text")))
+    base = _fan_out(docs.select("doc_id", "text"))
+    grams = base.select(
+        "doc_id",
+        F.posexplode(word_shingles(F.transform(tok_orig, F.lower), k)).alias(
+            "pos", "g"
+        ),
+    ).select("doc_id", "pos", hash60(F.col("g")).alias("h"))
+    dup_anchors = (
+        grams.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("h").orderBy("doc_id", "pos")),
+        )
+        .filter(F.col("rn") > 1)
+        .select("doc_id", "pos")
+    )
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = dup_anchors.select(
+        "doc_id",
+        "pos",
+        F.sum(
+            F.when(F.col("pos") - F.lag("pos").over(w) <= k, F.lit(0))
+            .otherwise(F.lit(1))
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("isl"),
+    )
+    spans = islands.groupBy("doc_id", "isl").agg(
+        F.min("pos").alias("start"), (F.max("pos") + k - 1).alias("end")
+    )
+    removed = spans.select(
+        "doc_id", F.explode(F.sequence("start", "end")).alias("pos")
+    ).distinct()
+
+    toks = base.select(
+        "doc_id", F.posexplode(tok_orig).alias("pos", "tok")
+    )
+    kept = toks.join(removed, on=["doc_id", "pos"], how="left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("text_clean"),
+    )
+    spine = docs.select(
+        "doc_id", F.size(tok_orig).cast("bigint").alias("n_tokens")
+    )
+    return (
+        spine.join(rebuilt, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+    )
+
+
+def strip_dup_spans_sql(k: int = SPAN_NGRAM) -> str:
+    tok = tokens_sql(clean_text_sql("text"))
+    h = hash60_sql(f"lower(array_to_string(tok[i:i+{k - 1}], ' '))")
+    return f"""
+        WITH toks AS (SELECT doc_id, {tok} AS tok FROM documents),
+        grams AS (
+            SELECT doc_id, s.pos AS pos, s.h AS h
+            FROM (
+                SELECT doc_id, unnest(
+                    CASE WHEN len(tok) < {k} THEN [] ELSE
+                        list_transform(
+                            generate_series(1, len(tok) - {k - 1}),
+                            i -> {{'pos': i - 1, 'h': {h}}})
+                    END) AS s
+                FROM toks
+            )
+        ),
+        dup_anchors AS (
+            SELECT doc_id, pos FROM (
+                SELECT doc_id, pos,
+                       row_number() OVER (PARTITION BY h
+                                          ORDER BY doc_id, pos) AS rn
+                FROM grams
+            ) WHERE rn > 1
+        ),
+        marked AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos - lag(pos) OVER (
+                       PARTITION BY doc_id ORDER BY pos) <= {k}
+                   THEN 0 ELSE 1 END AS brk
+            FROM dup_anchors
+        ),
+        islands AS (
+            SELECT doc_id, pos,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS UNBOUNDED PRECEDING) AS isl
+            FROM marked
+        ),
+        spans AS (
+            SELECT doc_id, isl, min(pos) AS s, max(pos) + {k - 1} AS e
+            FROM islands GROUP BY 1, 2
+        ),
+        removed AS (
+            SELECT DISTINCT doc_id, unnest(generate_series(s, e)) AS pos
+            FROM spans
+        ),
+        tokp AS (
+            SELECT doc_id, u.p - 1 AS pos, tok[u.p] AS tk
+            FROM toks, unnest(generate_series(1, len(tok))) AS u(p)
+        ),
+        kept AS (
+            SELECT doc_id, pos, tk FROM tokp
+            ANTI JOIN removed USING (doc_id, pos)
+        ),
+        rebuilt AS (
+            SELECT doc_id, count(*)::BIGINT AS n_kept,
+                   string_agg(tk, ' ' ORDER BY pos) AS text_clean
+            FROM kept GROUP BY 1
+        )
+        SELECT t.doc_id,
+               len(t.tok)::BIGINT AS n_tokens,
+               (len(t.tok) - coalesce(r.n_kept, 0))::BIGINT AS n_removed,
+               coalesce(r.text_clean, '') AS text_clean
+        FROM toks t LEFT JOIN rebuilt r USING (doc_id)
+    """

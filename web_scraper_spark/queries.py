@@ -182,6 +182,13 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.dup_spans(_docs(spark, sf_dir))
 
 
+def q_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee et al. 2022 substring dedup as a transformation: rewrite each
+    document with every duplicated span removed, corpus-first occurrence
+    wins (accounting twin: dup_spans — see operators/curation.py)."""
+    return cu.strip_dup_spans(_docs(spark, sf_dir))
+
+
 def q_dedup_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical representative per near-dup cluster: PageRank the
     MinHash-LSH pair graph, keep each cluster's highest-centrality member
@@ -1567,6 +1574,8 @@ def queries() -> dict[str, QueryFn]:
         "lm_perplexity": q_lm_perplexity,
         # r4: substring-level dedup spans (Lee et al. 2022) — oracled
         "dup_spans": q_dup_spans,
+        # r4: the matching transformation (first-wins removal) — oracled
+        "strip_dup_spans": q_strip_dup_spans,
         # rows-only (non-SQL: BLAS summation order / ML fit / UDF-stateful /
         # crawl fixpoint) — pytest-verified
         # (equality-to-oracled-twin / recall / simulator-equivalence).
@@ -1635,6 +1644,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lm_perplexity": lmod.lm_perplexity_sql(),
         "dup_spans": cu.dup_spans_sql(),
+        "strip_dup_spans": cu.strip_dup_spans_sql(),
         "sitemap_parse": (
             "WITH " + SITEMAP_PARSE_SQL_BODIES + ", entries AS ("
             + sm.sitemap_entries_sql("bodies")
