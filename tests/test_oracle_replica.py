@@ -48,6 +48,7 @@ def test_gate_window_contract():
         "lm_perplexity",          # r4: relational bigram-LM CCNet stage
         "dup_spans",              # r4: substring-dedup spans (Lee et al.)
         "strip_dup_spans",        # r4: first-wins span removal transform
+        "hll_cardinality",        # r4: portable HLL register summary
     }
 
 

@@ -1,0 +1,90 @@
+"""HyperLogLog token-cardinality sketch (operators/sketch.py).
+
+Value-exactness of the register summary vs DuckDB is covered by the
+oracle replica (hll_cardinality is a registered oracled query); these
+tests pin what SQL can't: estimate ACCURACY vs exact distinct counts in
+both HLL branches, the lossless shard-merge property (the 100 TB
+sharding story), and partition invariance.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from web_scraper_spark.operators import sketch as sk
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+
+
+def _vocab_docs(spark, lang, n_distinct, tokens_per_doc=200, reps=2):
+    """Documents whose token stream covers exactly n_distinct tokens,
+    each appearing `reps`+ times (duplicates must not move the sketch)."""
+    words = [f"{lang}_tok{i}" for i in range(n_distinct)]
+    rows, did = [], 0
+    for _ in range(reps):
+        for i in range(0, n_distinct, tokens_per_doc):
+            rows.append((did, " ".join(words[i : i + tokens_per_doc]), lang))
+            did += 1
+    return _docs(spark, rows)
+
+
+def test_hll_estimate_accuracy_harmonic_branch(spark):
+    # 60k distinct >> 2.5*m (m=4096): the bias-corrected harmonic branch.
+    # Standard error is 1.04/sqrt(4096) ~ 1.6%; assert a 3-sigma bound.
+    n = 60_000
+    out = sk.hll_token_sketch(_vocab_docs(spark, "en", n)).collect()
+    assert len(out) == 1
+    est = sk.hll_estimate(out[0]["m"], out[0]["v_zero"], out[0]["s_num"])
+    assert abs(est - n) / n < 0.05
+
+
+def test_hll_estimate_accuracy_linear_counting_branch(spark):
+    # 500 distinct << 2.5*m: the linear-counting correction, much tighter
+    n = 500
+    out = sk.hll_token_sketch(_vocab_docs(spark, "fr", n)).collect()
+    est = sk.hll_estimate(out[0]["m"], out[0]["v_zero"], out[0]["s_num"])
+    assert abs(est - n) / n < 0.03
+
+
+def test_hll_duplicates_never_move_the_sketch(spark):
+    # the defining property: registers depend on the SET of tokens only
+    once = sk.hll_token_sketch(_vocab_docs(spark, "de", 2_000, reps=1))
+    five = sk.hll_token_sketch(_vocab_docs(spark, "de", 2_000, reps=5))
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, five.collect()))
+
+
+def test_hll_shard_merge_is_lossless(spark):
+    # sketch(A ∪ B) == summarize(merge(registers(A), registers(B))),
+    # including overlapping vocabulary between the shards
+    a = _vocab_docs(spark, "en", 3_000)
+    b_words = [f"en_tok{i}" for i in range(2_000, 5_000)]  # overlaps a
+    b = _docs(
+        spark,
+        [(i, " ".join(b_words[i * 200 : (i + 1) * 200]), "en") for i in range(15)],
+    )
+    whole = sk.hll_token_sketch(a.unionByName(b))
+    merged = sk.hll_summarize(sk.hll_merge(sk.hll_registers(a), sk.hll_registers(b)))
+    assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, merged.collect()))
+
+
+def test_hll_partition_invariance(spark):
+    docs = _vocab_docs(spark, "es", 4_000)
+    one = sk.hll_token_sketch(docs.repartition(1))
+    many = sk.hll_token_sketch(docs.repartition(17, "doc_id"))
+    assert sorted(map(tuple, one.collect())) == sorted(map(tuple, many.collect()))
+
+
+def test_hll_plan_map_side_combine_no_distinct(spark):
+    docs = _vocab_docs(spark, "zh", 1_000)
+    plan = (
+        sk.hll_token_sketch(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # partial aggregation before the exchange (the sketch's whole point),
+    # and no expensive exact-distinct machinery anywhere
+    assert "partial_max" in plan or "HashAggregate" in plan
+    assert "distinct" not in plan.lower()
+    assert "SinglePartition" not in plan and "CartesianProduct" not in plan

@@ -29,6 +29,7 @@ from web_scraper_spark.frontier import sitemap as sm
 from web_scraper_spark.sources import warc as wa
 from web_scraper_spark.operators import phrase as ph
 from web_scraper_spark.operators import search as se
+from web_scraper_spark.operators import sketch as sko
 from web_scraper_spark.operators import similarity as sim
 from web_scraper_spark.operators.text import (
     BPE_TOKEN_RE,
@@ -180,6 +181,14 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     maximal token spans covered by a corpus-repeated 8-gram (gram-anchor
     formulation of the suffix-array recipe — see operators/curation.py)."""
     return cu.dup_spans(_docs(spark, sf_dir))
+
+
+def q_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language HLL token-cardinality sketch: the exact integer
+    register summary (m, v_zero, harmonic-sum numerator) — estimate,
+    accuracy and shard-merge are pytest-asserted (tests/test_sketch.py,
+    operators/sketch.py)."""
+    return sko.hll_token_sketch(_docs(spark, sf_dir))
 
 
 def q_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1576,6 +1585,8 @@ def queries() -> dict[str, QueryFn]:
         "dup_spans": q_dup_spans,
         # r4: the matching transformation (first-wins removal) — oracled
         "strip_dup_spans": q_strip_dup_spans,
+        # r4: engine-portable HLL register state — oracled
+        "hll_cardinality": q_hll_cardinality,
         # rows-only (non-SQL: BLAS summation order / ML fit / UDF-stateful /
         # crawl fixpoint) — pytest-verified
         # (equality-to-oracled-twin / recall / simulator-equivalence).
@@ -1645,6 +1656,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_perplexity": lmod.lm_perplexity_sql(),
         "dup_spans": cu.dup_spans_sql(),
         "strip_dup_spans": cu.strip_dup_spans_sql(),
+        "hll_cardinality": sko.hll_token_sketch_sql(),
         "sitemap_parse": (
             "WITH " + SITEMAP_PARSE_SQL_BODIES + ", entries AS ("
             + sm.sitemap_entries_sql("bodies")
