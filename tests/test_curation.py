@@ -330,3 +330,58 @@ def test_strip_dup_spans_empty_and_short_docs(spark):
     out = {r["doc_id"]: r for r in cu.strip_dup_spans(_docs(spark, rows)).collect()}
     assert out[1]["n_tokens"] == 0 and out[1]["text_clean"] == ""
     assert out[2]["n_removed"] == 0 and out[2]["text_clean"] == "just a few words"
+
+
+# ---------------------------------------------------------------------------
+# domain_stats (per-source triage rollup)
+# ---------------------------------------------------------------------------
+
+
+def _src_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+
+
+def test_domain_stats_flags_mirror_farm(spark):
+    # host B mirrors host A's pages verbatim: every mirrored doc counts as
+    # a dup on BOTH hosts (corpus-wide membership), and B gets flagged
+    pages = [_words(30, start=i * 50, tag="p_") for i in range(4)]
+    rows = (
+        [(i, pages[i], "a.example") for i in range(4)]
+        + [(10 + i, pages[i], "b.mirror") for i in range(3)]  # 3 of 4 mirrored
+        + [(20, _words(30, tag="own_"), "b.mirror")]          # 1 original
+    )
+    out = {r["source"]: r for r in cu.domain_stats(_src_docs(spark, rows)).collect()}
+    assert out["a.example"]["n_docs"] == 4 and out["a.example"]["dup_docs"] == 3
+    assert out["b.mirror"]["n_docs"] == 4 and out["b.mirror"]["dup_docs"] == 3
+    assert out["b.mirror"]["dup_frac"] == 0.75 and out["b.mirror"]["flagged"]
+    # a.example is ALSO above the 0.5 dup threshold here — corpus-wide
+    # membership is symmetric by design (the gate drops whichever side
+    # the pipeline ranks lower; the rollup just reports)
+    assert out["a.example"]["flagged"]
+
+
+def test_domain_stats_flags_low_quality_host(spark):
+    # digit-soup host: per-doc quality collapses, host flagged on quality
+    junk = " ".join("1234567890" for _ in range(40))
+    good = ("the quick brown fox and the lazy dog were found in the field "
+            "and they were both very happy about it all day long")
+    rows = [(i, junk, "spam.example") for i in range(3)] + [
+        (10 + i, good + f" extra{i}", "ok.example") for i in range(3)
+    ]
+    out = {r["source"]: r for r in cu.domain_stats(_src_docs(spark, rows)).collect()}
+    assert out["spam.example"]["avg_quality"] < 0.5
+    assert out["spam.example"]["flagged"]
+    assert out["ok.example"]["avg_quality"] > 0.5
+    assert not out["ok.example"]["flagged"]
+
+
+def test_domain_stats_dup_key_is_normalized(spark):
+    # exact_dedup's key: md5(lower(whitespace-clean)) — case and spacing
+    # variants of one page are the same content
+    rows = [
+        (1, "Shared   Page Body here", "x.example"),
+        (2, "shared page body HERE", "y.example"),
+    ]
+    out = {r["source"]: r for r in cu.domain_stats(_src_docs(spark, rows)).collect()}
+    assert out["x.example"]["dup_docs"] == 1
+    assert out["y.example"]["dup_docs"] == 1

@@ -49,6 +49,7 @@ def test_gate_window_contract():
         "dup_spans",              # r4: substring-dedup spans (Lee et al.)
         "strip_dup_spans",        # r4: first-wins span removal transform
         "hll_cardinality",        # r4: portable HLL register summary
+        "domain_stats",           # r4: per-source triage rollup
     }
 
 

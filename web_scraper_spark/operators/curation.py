@@ -842,3 +842,121 @@ def strip_dup_spans_sql(k: int = SPAN_NGRAM) -> str:
                coalesce(r.text_clean, '') AS text_clean
         FROM toks t LEFT JOIN rebuilt r USING (doc_id)
     """
+
+
+# ---------------------------------------------------------------------------
+# Domain-level triage (RefinedWeb/C4-style per-source rollup)
+# ---------------------------------------------------------------------------
+
+DOMAIN_MIN_QUALITY = 0.5   # flag sources whose mean quality falls below
+DOMAIN_MAX_DUP_FRAC = 0.5  # ... or more than half of whose docs are clones
+
+
+def domain_stats(docs: DataFrame) -> DataFrame:
+    """Per-``source`` (host/domain) curation rollup — the published
+    pipelines' *domain*-granular filtering stage (C4's blocklist,
+    RefinedWeb's per-domain heuristics): individual-document rules miss
+    systematically bad hosts (mirror farms, template sites, SEO spam)
+    whose every page narrowly passes, while the host-level aggregate is
+    unmistakable. Emits, per source: ``n_docs``, ``n_tokens`` (sum),
+    ``avg_quality`` (decimal-exact mean of the C4-style per-doc score —
+    double averages are summation-order dependent across engines, the
+    dec_avg contract), ``dup_docs`` / ``dup_frac`` (documents whose
+    normalized content hash appears more than once ANYWHERE in the
+    corpus, exact_dedup's key: md5(lower(clean)) — a mirror of another
+    host's page counts against both hosts), and ``flagged``.
+
+    Plan shape: one scan -> pure-codegen (source, n_tokens, qs, h)
+    projection -> the corpus-wide dup membership as ``count(*) over
+    (partition by h)`` riding ONE hash shuffle (the line_dedup idiom) ->
+    one map-side-combined groupBy(source). Text never shuffles; rows
+    carry ~40 bytes. Sources ≪ rows, so the final aggregate is tiny.
+
+    The reference crawls three hardcoded hosts and rates none of them
+    (CrawlPaperTuoiTre.py / CrawlPaperVNExpress.py / CrawlPaperZNews.py);
+    this is the rollup its 100 TB successor gates ingestion with.
+    """
+    from pyspark.sql import Window
+
+    from web_scraper_spark.operators.analytics import dec_avg
+    from web_scraper_spark.operators.dedup import _fan_out
+    from web_scraper_spark.operators.text import quality_columns
+
+    q = quality_columns("text")
+    base = _fan_out(docs.select("source", "text")).select(
+        "source",
+        q["n_tokens"].alias("nt"),
+        q["quality_score"].alias("qs"),
+        hash60(F.lower(clean_text(F.col("text")))).alias("h"),
+    )
+    with_dup = base.select(
+        "source",
+        "nt",
+        "qs",
+        (F.count("*").over(Window.partitionBy("h")) > 1).alias("dup"),
+    )
+    return (
+        with_dup.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("nt").cast("bigint").alias("n_tokens"),
+            dec_avg(F.col("qs")).alias("avg_quality"),
+            F.sum(F.col("dup").cast("bigint")).cast("bigint").alias("dup_docs"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "avg_quality",
+            "dup_docs",
+            F.round(
+                F.col("dup_docs").cast("double")
+                / F.greatest(F.col("n_docs"), F.lit(1)),
+                6,
+            ).alias("dup_frac"),
+            (
+                (F.col("avg_quality") < DOMAIN_MIN_QUALITY)
+                | (
+                    F.col("dup_docs").cast("double")
+                    / F.greatest(F.col("n_docs"), F.lit(1))
+                    > DOMAIN_MAX_DUP_FRAC
+                )
+            ).alias("flagged"),
+        )
+    )
+
+
+def domain_stats_sql() -> str:
+    from web_scraper_spark.operators.analytics import dec_avg_sql
+    from web_scraper_spark.operators.text import quality_sql
+
+    q = quality_sql("text")
+    h = hash60_sql(f"lower({clean_text_sql('text')})")
+    return f"""
+        WITH base AS (
+            SELECT source,
+                   {q['n_tokens']} AS nt,
+                   {q['quality_score']} AS qs,
+                   {h} AS h
+            FROM documents
+        ),
+        with_dup AS (
+            SELECT source, nt, qs,
+                   count(*) OVER (PARTITION BY h) > 1 AS dup
+            FROM base
+        ),
+        agg AS (
+            SELECT source,
+                   count(*)::BIGINT AS n_docs,
+                   sum(nt)::BIGINT AS n_tokens,
+                   {dec_avg_sql('qs')} AS avg_quality,
+                   sum(CASE WHEN dup THEN 1 ELSE 0 END)::BIGINT AS dup_docs
+            FROM with_dup GROUP BY 1
+        )
+        SELECT source, n_docs, n_tokens, avg_quality, dup_docs,
+               round(dup_docs::DOUBLE / greatest(n_docs, 1), 6) AS dup_frac,
+               (avg_quality < {DOMAIN_MIN_QUALITY}
+                OR dup_docs::DOUBLE / greatest(n_docs, 1)
+                   > {DOMAIN_MAX_DUP_FRAC}) AS flagged
+        FROM agg
+    """

@@ -183,6 +183,13 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.dup_spans(_docs(spark, sf_dir))
 
 
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb/C4-style per-source triage rollup: doc/token counts,
+    decimal-exact mean quality, corpus-wide exact-dup rate, flag (see
+    operators/curation.py::domain_stats)."""
+    return cu.domain_stats(_docs(spark, sf_dir))
+
+
 def q_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language HLL token-cardinality sketch: the exact integer
     register summary (m, v_zero, harmonic-sum numerator) — estimate,
@@ -1587,6 +1594,8 @@ def queries() -> dict[str, QueryFn]:
         "strip_dup_spans": q_strip_dup_spans,
         # r4: engine-portable HLL register state — oracled
         "hll_cardinality": q_hll_cardinality,
+        # r4: per-source (domain) triage rollup — oracled
+        "domain_stats": q_domain_stats,
         # rows-only (non-SQL: BLAS summation order / ML fit / UDF-stateful /
         # crawl fixpoint) — pytest-verified
         # (equality-to-oracled-twin / recall / simulator-equivalence).
@@ -1657,6 +1666,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans": cu.dup_spans_sql(),
         "strip_dup_spans": cu.strip_dup_spans_sql(),
         "hll_cardinality": sko.hll_token_sketch_sql(),
+        "domain_stats": cu.domain_stats_sql(),
         "sitemap_parse": (
             "WITH " + SITEMAP_PARSE_SQL_BODIES + ", entries AS ("
             + sm.sitemap_entries_sql("bodies")
