@@ -405,3 +405,45 @@ def test_sniff_mime_container_aware(spark):
         7: "image/png",
         8: "application/octet-stream",
     }
+
+
+# ---------------------------------------------------------------------------
+# cohort_retention (weekly cohort matrix)
+# ---------------------------------------------------------------------------
+
+
+def test_cohort_retention_hand_matrix(spark, tmp_path):
+    """Hand-computed cohort matrix: Monday truncation (a Sunday-night
+    event lands in its Monday's week), within-week duplicate events count
+    once, age-0 retention is exactly 1.0, and fractions round like the
+    oracle (1/3 -> 0.333333)."""
+    import datetime as dt
+
+    from web_scraper_spark.queries import q_cohort_retention
+
+    def ts(day, h=9, m=0):
+        return dt.datetime(2024, 1, day, h, m)
+
+    rows = [
+        # cohort W0 (week of Mon 2024-01-01): users 1,2,3
+        (1, ts(1)), (1, ts(2)),          # two W0 events: counted once
+        (1, ts(8)), (1, ts(15)),         # active W1 and W2
+        (2, ts(3)), (2, ts(16)),         # active W0 and W2
+        (3, ts(7, 23, 59)),              # Sunday night: still W0
+        # cohort W1 (week of Mon 2024-01-08): user 4
+        (4, ts(9)), (4, ts(17)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+    ev.write.parquet(str(tmp_path / "events.parquet"))
+    out = {
+        (str(r["cohort_week"]), r["age_weeks"]): r
+        for r in q_cohort_retention(spark, str(tmp_path)).collect()
+    }
+    assert len(out) == 5
+    w0, w1 = "2024-01-01", "2024-01-08"
+    assert out[(w0, 0)]["n_active"] == 3 and out[(w0, 0)]["retention"] == 1.0
+    assert out[(w0, 0)]["cohort_size"] == 3
+    assert out[(w0, 1)]["n_active"] == 1 and out[(w0, 1)]["retention"] == 0.333333
+    assert out[(w0, 2)]["n_active"] == 2 and out[(w0, 2)]["retention"] == 0.666667
+    assert out[(w1, 0)]["n_active"] == 1 and out[(w1, 0)]["retention"] == 1.0
+    assert out[(w1, 1)]["n_active"] == 1 and out[(w1, 1)]["cohort_size"] == 1

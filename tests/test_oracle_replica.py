@@ -50,6 +50,7 @@ def test_gate_window_contract():
         "strip_dup_spans",        # r4: first-wins span removal transform
         "hll_cardinality",        # r4: portable HLL register summary
         "domain_stats",           # r4: per-source triage rollup
+        "cohort_retention",       # r4: weekly cohort-retention matrix
     }
 
 

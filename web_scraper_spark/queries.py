@@ -685,6 +685,89 @@ EVENT_FUNNEL_SQL = """
 """
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix over the event stream: each user's
+    cohort is the ISO week (Monday-truncated) of their FIRST event;
+    ``n_active`` counts distinct users from that cohort seen ``age_weeks``
+    weeks later, ``retention`` their fraction of the cohort (age 0 is the
+    cohort itself by construction, retention 1.0). The classic growth
+    rollup the reference's analytics consumers run downstream of its
+    event log (fetch/parse timestamps per URL in the crawl scripts'
+    print-logging, e.g. CrawlPaperTuoiTre.py's per-article loop).
+
+    Plan shape — built for billions of events: ONE shuffle on user_id
+    with a map-side partial ``collect_set(week)`` (bounded: ≤ calendar
+    weeks in the corpus window, so per-user state is tiny regardless of
+    event volume), explode the per-user week set, then one
+    map-side-combined groupBy on (cohort_week, age_weeks) — rows past
+    the first exchange carry two dates, never events. Cohort sizes come
+    from the age-0 rows of the SAME aggregate via a broadcast self-join
+    (one row per cohort). Week arithmetic stays engine-portable: both
+    engines truncate weeks to Monday, so the day difference is exactly
+    divisible by 7 and the int cast can't round differently; retention
+    is an integer-ratio double rounded to 6 dp (the dup_frac contract).
+    """
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    per_user = (
+        ev.select(
+            "user_id",
+            F.date_trunc("week", F.col("ts")).cast("date").alias("wk"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min("wk").alias("cohort_week"),
+            F.collect_set("wk").alias("weeks"),
+        )
+    )
+    agg = (
+        per_user.select(
+            "cohort_week", F.explode("weeks").alias("wk")
+        )
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("age_weeks"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_active"))
+    )
+    sizes = agg.where(F.col("age_weeks") == 0).select(
+        "cohort_week", F.col("n_active").alias("cohort_size")
+    )
+    return agg.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "age_weeks",
+        "n_active",
+        "cohort_size",
+        F.round(
+            F.col("n_active").cast("double") / F.col("cohort_size"), 6
+        ).alias("retention"),
+    )
+
+
+COHORT_RETENTION_SQL = """
+    WITH uw AS (
+        SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+        FROM events GROUP BY 1, 2
+    ),
+    cu AS (
+        SELECT wk, min(wk) OVER (PARTITION BY user_id) AS cohort_week
+        FROM uw
+    ),
+    agg AS (
+        SELECT cohort_week,
+               CAST(datediff('day', cohort_week, wk) / 7 AS INT) AS age_weeks,
+               count(*)::BIGINT AS n_active
+        FROM cu GROUP BY 1, 2
+    )
+    SELECT a.cohort_week, a.age_weeks, a.n_active,
+           c.n_active AS cohort_size,
+           round(a.n_active::DOUBLE / c.n_active, 6) AS retention
+    FROM agg a JOIN agg c
+      ON a.cohort_week = c.cohort_week AND c.age_weeks = 0
+"""
+
+
 def q_quality_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles of the quality score per language
     (the corpus-threshold calibration query a cleaning pipeline runs
@@ -1596,6 +1679,8 @@ def queries() -> dict[str, QueryFn]:
         "hll_cardinality": q_hll_cardinality,
         # r4: per-source (domain) triage rollup — oracled
         "domain_stats": q_domain_stats,
+        # r4: weekly cohort-retention matrix — oracled
+        "cohort_retention": q_cohort_retention,
         # rows-only (non-SQL: BLAS summation order / ML fit / UDF-stateful /
         # crawl fixpoint) — pytest-verified
         # (equality-to-oracled-twin / recall / simulator-equivalence).
@@ -1667,6 +1752,7 @@ def oracle_sql() -> dict[str, str]:
         "strip_dup_spans": cu.strip_dup_spans_sql(),
         "hll_cardinality": sko.hll_token_sketch_sql(),
         "domain_stats": cu.domain_stats_sql(),
+        "cohort_retention": COHORT_RETENTION_SQL,
         "sitemap_parse": (
             "WITH " + SITEMAP_PARSE_SQL_BODIES + ", entries AS ("
             + sm.sitemap_entries_sql("bodies")
