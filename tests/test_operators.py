@@ -447,3 +447,46 @@ def test_cohort_retention_hand_matrix(spark, tmp_path):
     assert out[(w0, 2)]["n_active"] == 2 and out[(w0, 2)]["retention"] == 0.666667
     assert out[(w1, 0)]["n_active"] == 1 and out[(w1, 0)]["retention"] == 1.0
     assert out[(w1, 1)]["n_active"] == 1 and out[(w1, 1)]["cohort_size"] == 1
+
+
+# ---------------------------------------------------------------------------
+# containment_pairs (Broder asymmetric near-dup)
+# ---------------------------------------------------------------------------
+
+
+def test_containment_catches_excerpt_jaccard_misses(spark):
+    """A 10-token excerpt of a 40-token doc: every excerpt shingle is in
+    the container (containment 1.0) but Jaccard is ~0.2 — below the 0.4
+    jaccard tier threshold. The asymmetric measure is the only one that
+    flags the pair, and the direction columns identify which side is the
+    excerpt."""
+    big = " ".join(f"w{i}" for i in range(40))
+    excerpt = " ".join(f"w{i}" for i in range(10, 20))
+    other = " ".join(f"z{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(1, big), (2, excerpt), (3, other)], "doc_id bigint, text string"
+    )
+    sh = dd.doc_shingles(df)
+    pairs = {(r["doc_a"], r["doc_b"]): r for r in dd.containment_pairs(sh, tau=0.8).collect()}
+    assert set(pairs) == {(1, 2)}
+    r = pairs[(1, 2)]
+    # doc 2 (the excerpt, 8 shingles) fully contained in doc 1 (38 shingles)
+    assert r["cont_b_in_a"] == 1.0
+    assert r["cont_a_in_b"] == round(8 / 38, 6)
+    # symmetric jaccard misses it at its own threshold
+    assert dd.jaccard_pairs(sh, tau=0.4).where(
+        "doc_a = 1 and doc_b = 2"
+    ).count() == 0
+
+
+def test_containment_pairs_max_df_cap(spark):
+    """A shingle shared by every doc is dropped by the df cap before the
+    self-join, so a corpus-wide boilerplate shingle alone cannot form
+    pairs; set sizes stay exact (computed pre-prune) so containment
+    values for surviving pairs are unchanged."""
+    boiler = "same same same"
+    rows = [(i, f"u{i} v{i} {boiler}") for i in range(1, 6)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sh = dd.doc_shingles(df)
+    # cap of 1 drops every shared shingle -> no pairs at all
+    assert dd.containment_pairs(sh, tau=0.1, max_df=1).count() == 0

@@ -51,6 +51,7 @@ def test_gate_window_contract():
         "hll_cardinality",        # r4: portable HLL register summary
         "domain_stats",           # r4: per-source triage rollup
         "cohort_retention",       # r4: weekly cohort-retention matrix
+        "containment_pairs",      # r4: Broder asymmetric near-dup
     }
 
 

@@ -209,6 +209,90 @@ def jaccard_pairs_sql(shingles_cte: str, tau: float = 0.4, max_df: int = 1000) -
     """
 
 
+def containment_pairs(
+    shingles: DataFrame, tau: float = 0.8, max_df: int = 1000
+) -> DataFrame:
+    """All doc pairs where either doc's shingle set is >= ``tau``
+    CONTAINED in the other's: Broder's asymmetric resemblance measure,
+    ``containment(A in B) = |A ∩ B| / |A|``. This is the near-dup case
+    symmetric Jaccard structurally misses — a short excerpt/quote inside
+    a much longer document has Jaccard ≈ |A|/|B| (arbitrarily small) but
+    containment ≈ 1, exactly the partial-overlap shape training-data
+    pipelines must catch (quotes, syndicated snippets, boilerplate-
+    wrapped reposts).
+
+    Emits (doc_a, doc_b, cont_a_in_b, cont_b_in_a) with doc_a < doc_b,
+    kept where the larger direction reaches ``tau``. Same inverted-index
+    plan as :func:`jaccard_pairs` — pairs only form on shared shingles,
+    ``max_df`` caps hot postings before the self-join (set sizes stay
+    exact, computed pre-prune), so the shuffle is sized by posting lists,
+    never n². The SQL oracle twin applies the identical cap.
+
+    Reference parity: the reference dedups nothing (its three crawl
+    scripts re-fetch and re-store freely); containment is the standard
+    measure its corpus consumers need (Broder 1997, "On the resemblance
+    and containment of documents").
+    """
+    shingles = shingles.localCheckpoint(eager=True)
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    rare = (
+        shingles.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= max_df)
+        .select("shingle")
+    )
+    pruned = shingles.join(rare, on="shingle", how="left_semi")
+    a = pruned.alias("a")
+    b = pruned.alias("b")
+    common = (
+        a.join(b, on="shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    cab = F.round(F.col("n_common").cast("double") / F.col("n_a"), 6)
+    cba = F.round(F.col("n_common").cast("double") / F.col("n_b"), 6)
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            cab.alias("cont_a_in_b"),
+            cba.alias("cont_b_in_a"),
+        )
+        .where(F.greatest("cont_a_in_b", "cont_b_in_a") >= tau)
+    )
+
+
+def containment_pairs_sql(
+    shingles_cte: str, tau: float = 0.8, max_df: int = 1000
+) -> str:
+    return f"""
+        WITH sh AS ({shingles_cte}),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        rare AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= {max_df}),
+        pruned AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
+        common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+            FROM pruned a JOIN pruned b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT doc_a, doc_b,
+                   round(n_common::DOUBLE / sa.n_sh, 6) AS cont_a_in_b,
+                   round(n_common::DOUBLE / sb.n_sh, 6) AS cont_b_in_a
+            FROM common
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+        )
+        SELECT * FROM scored
+        WHERE greatest(cont_a_in_b, cont_b_in_a) >= {tau}
+    """
+
+
 # ---------------------------------------------------------------------------
 # Tier 3 — MinHash signatures + LSH banding
 # ---------------------------------------------------------------------------

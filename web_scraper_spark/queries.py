@@ -296,6 +296,16 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.jaccard_pairs(postings, tau=0.4)
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder containment pairs (asymmetric near-dup: excerpt/quote
+    inside a longer doc) over the same hashed postings the Jaccard tier
+    rides — see operators/dedup.py::containment_pairs."""
+    postings = dd.sketch_docs(_docs(spark, sf_dir)).select(
+        "doc_id", F.explode("shset").alias("shingle")
+    )
+    return dd.containment_pairs(postings, tau=0.8)
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash signatures via the one-pass Arrow sketch (bit-identical to
     the expression form dd.simhash, whose SQL stays the oracle)."""
@@ -1681,6 +1691,8 @@ def queries() -> dict[str, QueryFn]:
         "domain_stats": q_domain_stats,
         # r4: weekly cohort-retention matrix — oracled
         "cohort_retention": q_cohort_retention,
+        # r4: Broder containment (asymmetric near-dup) — oracled
+        "containment_pairs": q_containment_pairs,
         # rows-only (non-SQL: BLAS summation order / ML fit / UDF-stateful /
         # crawl fixpoint) — pytest-verified
         # (equality-to-oracled-twin / recall / simulator-equivalence).
@@ -1753,6 +1765,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_cardinality": sko.hll_token_sketch_sql(),
         "domain_stats": cu.domain_stats_sql(),
         "cohort_retention": COHORT_RETENTION_SQL,
+        "containment_pairs": dd.containment_pairs_sql(sh_cte, tau=0.8),
         "sitemap_parse": (
             "WITH " + SITEMAP_PARSE_SQL_BODIES + ", entries AS ("
             + sm.sitemap_entries_sql("bodies")
