@@ -741,6 +741,11 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("bigint").alias("n_active"))
     )
+    # agg is referenced twice (matrix + cohort sizes); without a sever the
+    # sizes branch re-derives the whole sub-plan — a second full events
+    # scan at scale. The frame is tiny (cohorts × ages rows), so an eager
+    # RDD-scoped checkpoint pins it (CLAUDE.md multi-reference invariant).
+    agg = agg.localCheckpoint(eager=True)
     sizes = agg.where(F.col("age_weeks") == 0).select(
         "cohort_week", F.col("n_active").alias("cohort_size")
     )
