@@ -26,6 +26,7 @@ from web_scraper_spark.operators import lm as lmod
 from web_scraper_spark.operators import dedup as dd
 from web_scraper_spark.operators import multimodal as mm
 from web_scraper_spark.frontier import sitemap as sm
+from web_scraper_spark.frontier import traps as tr
 from web_scraper_spark.sources import warc as wa
 from web_scraper_spark.operators import phrase as ph
 from web_scraper_spark.operators import search as se
@@ -780,6 +781,49 @@ COHORT_RETENTION_SQL = """
            round(a.n_active::DOUBLE / c.n_active, 6) AS retention
     FROM agg a JOIN agg c
       ON a.cohort_week = c.cohort_week AND c.age_weeks = 0
+"""
+
+
+def q_crawl_trap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawler-trap detection (frontier/traps.py::trap_stats) over a
+    deterministic synthetic frontier URL set derived from orders: 40
+    hosts; two of them (custkey%40 ∈ {3,17}) serve a calendar trap
+    (/cal/<day>/<hour> — one template, unbounded distinct URLs), the
+    rest a bounded two-template catalog. The SQL oracle synthesizes the
+    identical URLs, so host counts and the trap flag are value-exact."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    hostnum = (F.col("o_custkey") % 40).cast("string")
+    trap_path = F.concat(
+        F.lit("/cal/"),
+        (F.col("o_orderkey") % 365).cast("string"),
+        F.lit("/"),
+        (F.col("o_orderkey") % 24).cast("string"),
+    )
+    normal_path = F.when(
+        F.col("o_orderkey") % 2 == 0,
+        F.concat(F.lit("/cat/"), (F.col("o_orderkey") % 8).cast("string"), F.lit("/page")),
+    ).otherwise(
+        F.concat(F.lit("/item/"), (F.col("o_orderkey") % 50).cast("string"))
+    )
+    url = F.concat(
+        F.lit("https://h"),
+        hostnum,
+        F.lit(".example"),
+        F.when((F.col("o_custkey") % 40).isin(3, 17), trap_path).otherwise(normal_path),
+    )
+    return tr.trap_stats(orders.select(url.alias("url")))
+
+
+TRAP_URLS_CTE = """
+    SELECT 'https://h' || CAST(o_custkey % 40 AS VARCHAR) || '.example' ||
+           CASE WHEN (o_custkey % 40) IN (3, 17)
+                THEN '/cal/' || CAST(o_orderkey % 365 AS VARCHAR)
+                     || '/' || CAST(o_orderkey % 24 AS VARCHAR)
+                WHEN o_orderkey % 2 = 0
+                THEN '/cat/' || CAST(o_orderkey % 8 AS VARCHAR) || '/page'
+                ELSE '/item/' || CAST(o_orderkey % 50 AS VARCHAR)
+           END AS url
+    FROM orders
 """
 
 
@@ -1698,6 +1742,8 @@ def queries() -> dict[str, QueryFn]:
         "cohort_retention": q_cohort_retention,
         # r4: Broder containment (asymmetric near-dup) — oracled
         "containment_pairs": q_containment_pairs,
+        # r4: crawler-trap detection (per-host URL-template budget) — oracled
+        "crawl_trap_stats": q_crawl_trap_stats,
         # rows-only (non-SQL: BLAS summation order / ML fit / UDF-stateful /
         # crawl fixpoint) — pytest-verified
         # (equality-to-oracled-twin / recall / simulator-equivalence).
@@ -1771,6 +1817,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_stats": cu.domain_stats_sql(),
         "cohort_retention": COHORT_RETENTION_SQL,
         "containment_pairs": dd.containment_pairs_sql(sh_cte, tau=0.8),
+        "crawl_trap_stats": tr.trap_stats_sql(TRAP_URLS_CTE),
         "sitemap_parse": (
             "WITH " + SITEMAP_PARSE_SQL_BODIES + ", entries AS ("
             + sm.sitemap_entries_sql("bodies")
