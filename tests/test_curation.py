@@ -385,3 +385,54 @@ def test_domain_stats_dup_key_is_normalized(spark):
     out = {r["source"]: r for r in cu.domain_stats(_src_docs(spark, rows)).collect()}
     assert out["x.example"]["dup_docs"] == 1
     assert out["y.example"]["dup_docs"] == 1
+
+
+# ---------------------------------------------------------------------------
+# source_kl (per-source distribution drift)
+# ---------------------------------------------------------------------------
+
+
+def test_source_kl_zero_for_identical_distributions(spark):
+    # two sources with the SAME token mix: KL exactly 0 for both
+    text = "alpha beta gamma alpha beta gamma"
+    rows = [(1, text, "s1"), (2, text, "s2")]
+    out = {r["source"]: r for r in cu.source_kl(_src_docs(spark, rows)).collect()}
+    assert out["s1"]["kl_divergence"] == 0.0
+    assert out["s2"]["kl_divergence"] == 0.0
+    assert out["s1"]["n_tokens"] == 6 and out["s1"]["n_types"] == 3
+
+
+def test_source_kl_matches_numpy_twin(spark):
+    # skewed source vs a varied one: KL computed independently in numpy
+    # with the SAME 6-dp ln rounding must agree to the dec_sum contract
+    import math
+    from collections import Counter
+
+    rows = [
+        (1, "spam spam spam spam spam ham", "skew.example"),
+        (2, "one two three four five six", "flat.example"),
+    ]
+    per_source = {
+        "skew.example": Counter("spam spam spam spam spam ham".split()),
+        "flat.example": Counter("one two three four five six".split()),
+    }
+    corpus = Counter()
+    for c in per_source.values():
+        corpus.update(c)
+    n_tot = sum(corpus.values())
+
+    def kl(src):
+        n_s = sum(per_source[src].values())
+        s = 0.0
+        for t, c_st in per_source[src].items():
+            ratio = (c_st * n_tot) / (n_s * corpus[t])
+            s += (c_st / n_s) * round(math.log(ratio), 6)
+        return round(s, 6)
+
+    out = {r["source"]: r for r in cu.source_kl(_src_docs(spark, rows)).collect()}
+    for src in per_source:
+        assert abs(out[src]["kl_divergence"] - kl(src)) < 5e-6, src
+    # the skewed source diverges more than the flat one here (flat's
+    # tokens are rarer corpus-wide, but spam dominates skew's mass)
+    assert out["skew.example"]["kl_divergence"] > 0
+    assert out["flat.example"]["kl_divergence"] > 0

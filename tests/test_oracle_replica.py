@@ -53,6 +53,7 @@ def test_gate_window_contract():
         "cohort_retention",       # r4: weekly cohort-retention matrix
         "containment_pairs",      # r4: Broder asymmetric near-dup
         "crawl_trap_stats",       # r4: per-host URL-template trap flag
+        "source_kl",              # r4: per-source KL drift vs corpus
     }
 
 

@@ -960,3 +960,100 @@ def domain_stats_sql() -> str:
                    > {DOMAIN_MAX_DUP_FRAC}) AS flagged
         FROM agg
     """
+
+
+# ---------------------------------------------------------------------------
+# Per-source distribution drift (KL divergence vs the corpus)
+# ---------------------------------------------------------------------------
+
+
+def source_kl(docs: DataFrame) -> DataFrame:
+    """KL divergence of each source's unigram token distribution from the
+    corpus distribution: ``KL(source ‖ corpus) = Σ_t p_s(t) ·
+    ln(p_s(t)/p_c(t))`` — the drift signal curation pipelines use to
+    spot template farms, machine-generated text, and off-domain hosts
+    whose per-document scores look normal but whose aggregate vocabulary
+    doesn't (the CCNet/RefinedWeb domain-profiling companion to
+    :func:`domain_stats`' dup/quality gate). KL ≥ 0, with 0 only when
+    the source's token mix equals the corpus mix.
+
+    Engine-portability (the lm_perplexity recipe): the ln argument is
+    computed as the single product ratio ``(c_st·n)/(n_s·c_t)`` — every
+    double op except ``ln`` itself is IEEE-correctly-rounded and thus
+    bit-identical across engines; the lone libm call is rounded to 6 dp
+    before use, and the per-term products are summed via the dec_sum
+    DECIMAL(18,6) contract so summation order can't flip the rounded
+    output.
+
+    Plan shape: one explode → ONE (source, token) map-side-combined
+    count; everything downstream operates on the vocabulary-sized count
+    table (eager-checkpointed once — it feeds three aggregates):
+    per-source totals broadcast (sources ≪ vocab), corpus term counts as
+    a co-partitioned token join, the grand total a broadcast scalar.
+    Text never shuffles; no frame after the first exchange scales with
+    corpus size, only with vocabulary.
+    """
+    from web_scraper_spark.operators.analytics import dec_sum
+    from web_scraper_spark.operators.dedup import _fan_out
+
+    toks = _fan_out(docs.select("source", "text")).select(
+        "source",
+        F.explode(tokens(F.lower(clean_text(F.col("text"))))).alias("token"),
+    )
+    c_st = (
+        toks.groupBy("source", "token")
+        .agg(F.count("*").cast("bigint").alias("c_st"))
+        .localCheckpoint(eager=True)
+    )
+    n_s = c_st.groupBy("source").agg(F.sum("c_st").cast("bigint").alias("n_s"))
+    c_t = c_st.groupBy("token").agg(F.sum("c_st").cast("bigint").alias("c_t"))
+    n_tot = n_s.agg(F.sum("n_s").cast("bigint").alias("n_tot"))
+    joined = (
+        c_st.join(c_t, "token")
+        .join(F.broadcast(n_s), "source")
+        .crossJoin(F.broadcast(n_tot))
+    )
+    p_s = F.col("c_st").cast("double") / F.col("n_s").cast("double")
+    ratio = (F.col("c_st").cast("double") * F.col("n_tot").cast("double")) / (
+        F.col("n_s").cast("double") * F.col("c_t").cast("double")
+    )
+    term = p_s * F.round(F.log(ratio), 6)
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.max("n_s").cast("bigint").alias("n_tokens"),
+            F.count("*").cast("bigint").alias("n_types"),
+            dec_sum(term, 6).alias("kl_divergence"),
+        )
+        .select("source", "n_tokens", "n_types", "kl_divergence")
+    )
+
+
+def source_kl_sql() -> str:
+    from web_scraper_spark.operators.analytics import dec_sum_sql
+
+    tok = tokens_sql("lower(" + clean_text_sql("text") + ")")
+    return f"""
+        WITH toks AS (
+            SELECT source, unnest({tok}) AS token FROM documents
+        ),
+        c_st AS (
+            SELECT source, token, count(*)::BIGINT AS c_st
+            FROM toks GROUP BY 1, 2
+        ),
+        n_s AS (SELECT source, sum(c_st)::BIGINT AS n_s FROM c_st GROUP BY 1),
+        c_t AS (SELECT token, sum(c_st)::BIGINT AS c_t FROM c_st GROUP BY 1),
+        n_tot AS (SELECT sum(n_s)::BIGINT AS n_tot FROM n_s),
+        terms AS (
+            SELECT source, n_s,
+                   (c_st::DOUBLE / n_s::DOUBLE)
+                   * round(ln((c_st::DOUBLE * n_tot::DOUBLE)
+                              / (n_s::DOUBLE * c_t::DOUBLE)), 6) AS term
+            FROM c_st JOIN c_t USING (token) JOIN n_s USING (source), n_tot
+        )
+        SELECT source,
+               max(n_s)::BIGINT AS n_tokens,
+               count(*)::BIGINT AS n_types,
+               {dec_sum_sql('term', 6)} AS kl_divergence
+        FROM terms GROUP BY 1
+    """

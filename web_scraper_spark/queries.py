@@ -191,6 +191,13 @@ def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.domain_stats(_docs(spark, sf_dir))
 
 
+def q_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram-distribution KL divergence vs the corpus — the
+    domain-drift companion to domain_stats (see
+    operators/curation.py::source_kl)."""
+    return cu.source_kl(_docs(spark, sf_dir))
+
+
 def q_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language HLL token-cardinality sketch: the exact integer
     register summary (m, v_zero, harmonic-sum numerator) — estimate,
@@ -1744,6 +1751,8 @@ def queries() -> dict[str, QueryFn]:
         "containment_pairs": q_containment_pairs,
         # r4: crawler-trap detection (per-host URL-template budget) — oracled
         "crawl_trap_stats": q_crawl_trap_stats,
+        # r4: per-source distribution drift (KL vs corpus) — oracled
+        "source_kl": q_source_kl,
         # rows-only (non-SQL: BLAS summation order / ML fit / UDF-stateful /
         # crawl fixpoint) — pytest-verified
         # (equality-to-oracled-twin / recall / simulator-equivalence).
@@ -1818,6 +1827,7 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention": COHORT_RETENTION_SQL,
         "containment_pairs": dd.containment_pairs_sql(sh_cte, tau=0.8),
         "crawl_trap_stats": tr.trap_stats_sql(TRAP_URLS_CTE),
+        "source_kl": cu.source_kl_sql(),
         "sitemap_parse": (
             "WITH " + SITEMAP_PARSE_SQL_BODIES + ", entries AS ("
             + sm.sitemap_entries_sql("bodies")
