@@ -218,3 +218,31 @@ def test_incremental_refresh_only_recomputes_stale(spark):
     assert got == {"g1": 2, "g2": 1, "g4": 1}  # g3 gone
     assert calls[-1] == ["g1", "g4"]  # expensive stage saw only stale groups
     assert cache_v2.count() == 3
+
+
+# ---------------------------------------------------------------------------
+# snapshot_diff (doc-level changelog between snapshots)
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_diff_hand_changelog(spark):
+    from web_scraper_spark.operators.incremental import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma"), (4, "delta")],
+        "doc_id bigint, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta CHANGED"), (4, "delta"), (5, "epsilon")],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r["change"] for r in snapshot_diff(old, new).collect()}
+    # 1 and 4 unchanged -> absent; 2 modified; 3 removed; 5 added
+    assert out == {2: "modified", 3: "removed", 5: "added"}
+
+
+def test_snapshot_diff_empty_when_identical(spark):
+    from web_scraper_spark.operators.incremental import snapshot_diff
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id bigint, text string")
+    assert snapshot_diff(df, df).count() == 0

@@ -54,6 +54,7 @@ def test_gate_window_contract():
         "containment_pairs",      # r4: Broder asymmetric near-dup
         "crawl_trap_stats",       # r4: per-host URL-template trap flag
         "source_kl",              # r4: per-source KL drift vs corpus
+        "snapshot_diff",          # r4: added/removed/modified changelog
     }
 
 

@@ -69,3 +69,52 @@ def incremental_refresh(
         unchanged_keys.withColumnRenamed("group_key", group_col), on=group_col, how="left_semi"
     )
     return kept.unionByName(recomputed), current
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, content_col: str = "text") -> DataFrame:
+    """Document-level diff between two corpus snapshots: (doc_id, change)
+    for every doc that was ``added``, ``removed``, or ``modified`` —
+    the table-diff an Iceberg incremental scan between two snapshot ids
+    produces, computed here from the data itself so it works on plain
+    parquet snapshots too (the classify_groups stale/retired machinery
+    at document grain, split into the add/modify cases a changelog
+    consumer needs to distinguish).
+
+    Plan: content hashes are computed scan-side (one md5 projection per
+    snapshot — text never shuffles), then ONE co-partitioned full-outer
+    join on doc_id carrying (doc_id, 32-byte hash) rows. Unchanged docs
+    — the overwhelming majority between adjacent crawl snapshots — are
+    filtered out before anything else sees the frame.
+    """
+    o = old.select("doc_id", F.md5(F.col(content_col)).alias("h_old"))
+    n = new.select("doc_id", F.md5(F.col(content_col)).alias("h_new"))
+    change = (
+        F.when(F.col("h_old").isNull(), F.lit("added"))
+        .when(F.col("h_new").isNull(), F.lit("removed"))
+        .when(F.col("h_old") != F.col("h_new"), F.lit("modified"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        o.join(n, on="doc_id", how="full_outer")
+        .select("doc_id", change.alias("change"))
+        .where(F.col("change") != "unchanged")
+    )
+
+
+def snapshot_diff_sql(old_cte: str, new_cte: str, content_col: str = "text") -> str:
+    """DuckDB twin over two CTEs each producing (doc_id, text)."""
+    return f"""
+        WITH old_snap AS ({old_cte}),
+        new_snap AS ({new_cte}),
+        o AS (SELECT doc_id, md5({content_col}) AS h_old FROM old_snap),
+        n AS (SELECT doc_id, md5({content_col}) AS h_new FROM new_snap),
+        j AS (
+            SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN h_old IS NULL THEN 'added'
+                        WHEN h_new IS NULL THEN 'removed'
+                        WHEN h_old <> h_new THEN 'modified'
+                        ELSE 'unchanged' END AS change
+            FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        )
+        SELECT doc_id, change FROM j WHERE change <> 'unchanged'
+    """

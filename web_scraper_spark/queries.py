@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from web_scraper_spark.operators import analytics as an
 from web_scraper_spark.operators import curation as cu
+from web_scraper_spark.operators import incremental as inc
 from web_scraper_spark.operators import lm as lmod
 from web_scraper_spark.operators import dedup as dd
 from web_scraper_spark.operators import multimodal as mm
@@ -196,6 +197,40 @@ def q_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain-drift companion to domain_stats (see
     operators/curation.py::source_kl)."""
     return cu.source_kl(_docs(spark, sf_dir))
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level snapshot diff (operators/incremental.py::
+    snapshot_diff) between the documents table and a deterministic
+    second snapshot derived from it: doc_id%97==0 removed, %89==0
+    rewritten (appended revision marker), %101==0 respawned as new docs
+    at doc_id+10_000_000. The SQL oracle synthesizes the identical v2,
+    so the (doc_id, change) changelog is value-exact."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    kept = docs.where(F.col("doc_id") % 97 != 0)
+    v2 = kept.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 89 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+        ).otherwise(F.col("text")).alias("text"),
+    ).unionByName(
+        docs.where(F.col("doc_id") % 101 == 0).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            F.concat(F.lit("new page "), F.col("doc_id").cast("string")).alias("text"),
+        )
+    )
+    return inc.snapshot_diff(docs, v2)
+
+
+SNAPSHOT_V2_CTE = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 89 = 0 THEN text || ' [rev2]' ELSE text END AS text
+    FROM documents WHERE doc_id % 97 <> 0
+    UNION ALL
+    SELECT doc_id + 10000000 AS doc_id,
+           'new page ' || CAST(doc_id AS VARCHAR) AS text
+    FROM documents WHERE doc_id % 101 = 0
+"""
 
 
 def q_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1753,6 +1788,8 @@ def queries() -> dict[str, QueryFn]:
         "crawl_trap_stats": q_crawl_trap_stats,
         # r4: per-source distribution drift (KL vs corpus) — oracled
         "source_kl": q_source_kl,
+        # r4: snapshot changelog (added/removed/modified) — oracled
+        "snapshot_diff": q_snapshot_diff,
         # rows-only (non-SQL: BLAS summation order / ML fit / UDF-stateful /
         # crawl fixpoint) — pytest-verified
         # (equality-to-oracled-twin / recall / simulator-equivalence).
@@ -1828,6 +1865,9 @@ def oracle_sql() -> dict[str, str]:
         "containment_pairs": dd.containment_pairs_sql(sh_cte, tau=0.8),
         "crawl_trap_stats": tr.trap_stats_sql(TRAP_URLS_CTE),
         "source_kl": cu.source_kl_sql(),
+        "snapshot_diff": inc.snapshot_diff_sql(
+            "SELECT doc_id, text FROM documents", SNAPSHOT_V2_CTE
+        ),
         "sitemap_parse": (
             "WITH " + SITEMAP_PARSE_SQL_BODIES + ", entries AS ("
             + sm.sitemap_entries_sql("bodies")
