@@ -81,3 +81,66 @@ def test_dedup_centrality_registered(spark, sf_dir):
     for r in out:
         assert r["n_members"] >= 2  # every cluster has at least one pair
         assert r["rep_rank"] is None or r["rep_rank"] > 0
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities
+# ---------------------------------------------------------------------------
+
+
+def numpy_hits(edges, n_iter=10):
+    """Independent twin of graphalgo.hits: scale-invariant iterations
+    (no per-step normalization), one extra authority half-step off the
+    final hub vector, L2 normalization at the end only."""
+    nodes = sorted({u for e in edges for u in e})
+    idx = {u: i for i, u in enumerate(nodes)}
+    n = len(nodes)
+    A = np.zeros((n, n))
+    for s, d in set(edges):
+        A[idx[s], idx[d]] = 1.0
+    hub = np.ones(n)
+    for _ in range(n_iter):
+        auth = A.T @ hub
+        hub = A @ auth
+    auth = A.T @ hub
+    hub = hub / (np.linalg.norm(hub) or 1.0)
+    auth = auth / (np.linalg.norm(auth) or 1.0)
+    return {u: (hub[idx[u]], auth[idx[u]]) for u in nodes}
+
+
+def test_hits_matches_numpy(spark):
+    from web_scraper_spark.operators.graphalgo import hits
+
+    got = {r["node"]: (r["hub"], r["authority"]) for r in hits(_edges_df(spark, EDGES)).collect()}
+    want = numpy_hits(EDGES)
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u][0] == pytest.approx(want[u][0], abs=2e-9), u
+        assert got[u][1] == pytest.approx(want[u][1], abs=2e-9), u
+    # node 7 is a pure sink: authority > 0, hub exactly 0
+    assert got[7][0] == 0.0 and got[7][1] > 0
+
+
+def test_hits_partition_invariant(spark):
+    from web_scraper_spark.operators.graphalgo import hits
+
+    a = {r["node"]: (r["hub"], r["authority"]) for r in hits(_edges_df(spark, EDGES, parts=1)).collect()}
+    b = {r["node"]: (r["hub"], r["authority"]) for r in hits(_edges_df(spark, EDGES, parts=7)).collect()}
+    for u in a:
+        assert a[u][0] == pytest.approx(b[u][0], abs=2e-9)
+        assert a[u][1] == pytest.approx(b[u][1], abs=2e-9)
+
+
+def test_hits_bipartite_star(spark):
+    from web_scraper_spark.operators.graphalgo import hits
+
+    # 3 hubs all pointing at 2 authorities: hubs get equal hub score,
+    # authorities equal authority score, and the cross scores are zero
+    edges = [(h, a) for h in (1, 2, 3) for a in (10, 20)]
+    got = {r["node"]: r for r in hits(_edges_df(spark, edges)).collect()}
+    for h in (1, 2, 3):
+        assert got[h]["hub"] == pytest.approx(1 / np.sqrt(3), abs=1e-9)
+        assert got[h]["authority"] == 0.0
+    for a in (10, 20):
+        assert got[a]["authority"] == pytest.approx(1 / np.sqrt(2), abs=1e-9)
+        assert got[a]["hub"] == 0.0

@@ -175,3 +175,97 @@ def cluster_representatives(
             F.col("n_members").cast("bigint").alias("n_members"),
         )
     )
+
+
+def hits(
+    edges: DataFrame,
+    n_iter: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+    edges_distinct: bool = False,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over a directed edge
+    list → (node, hub, authority), each vector L2-normalized.
+
+    The crawl-priority complement to :func:`pagerank`: authority ranks
+    pages worth fetching, hub ranks pages worth EXPANDING (their
+    outlinks feed the frontier) — the two frontier signals a link-aware
+    scheduler combines with depth/inlinks.
+
+    Spark shape — same discipline as pagerank, but CHEAPER per
+    iteration: the classic per-step L2 normalization only rescales, and
+    power iteration is scale-invariant, so normalization happens ONCE at
+    the end. Each iteration is then just auth ← Σ_{u→v} hub(u) (groupBy
+    dst) and hub ← Σ_{u→v} auth(v) (groupBy src) — two co-keyed
+    join+agg levels shuffling only (node, score) pairs, materialized by
+    ONE eager localCheckpoint per iteration (lineage sever, RDD-scoped).
+    Magnitudes grow like the dominant eigenvalue^k; with fixed small
+    n_iter that stays far inside double range for any real graph, and
+    the final normalization restores unit scale before the 9-dp rounding
+    (the pagerank determinism recipe: fixed iterations, round at the
+    end only).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not edges_distinct:
+        e = e.distinct()
+    e = e.localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # the hub vector only ever needs SOURCE nodes: a node with no
+    # out-edges has hub 0 in every iteration and contributes nothing to
+    # any authority, and the hub update (groupBy src over the edge join)
+    # covers every source by construction — so the loop carries no
+    # restore-missing-nodes outer join at all (pure-sink nodes rejoin
+    # with hub 0 in the final output projection). Initializing hub = 1
+    # on sources only is identity-equal to ones-over-all-nodes for the
+    # same reason (the numpy twin initializes over all nodes).
+    hub = e.select(F.col("src").alias("node")).distinct().select(
+        "node", F.lit(1.0).alias("hub")
+    )
+    for _ in range(n_iter):
+        auth = (
+            e.join(hub, e.src == hub.node)
+            .select(F.col("dst").alias("node"), F.col("hub").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("authority"))
+        )
+        hub = (
+            e.join(auth, e.dst == auth.node)
+            .select(F.col("src").alias("node"), F.col("authority").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("hub"))
+            # sever lineage each iteration (the dedup_clusters/pagerank
+            # discipline); RDD-scoped storage, freed by the ContextCleaner
+            .localCheckpoint(eager=True)
+        )
+    auth = (
+        e.join(hub, e.src == hub.node)
+        .select(F.col("dst").alias("node"), F.col("hub").alias("c"))
+        .groupBy("node")
+        .agg(F.sum("c").alias("authority"))
+    )
+    scored = (
+        nodes.join(auth, on="node", how="left")
+        .join(hub, on="node", how="left")
+        .select(
+            "node",
+            F.coalesce(F.col("hub"), F.lit(0.0)).alias("hub"),
+            F.coalesce(F.col("authority"), F.lit(0.0)).alias("authority"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    norms = scored.agg(
+        F.sqrt(F.sum(F.col("hub") * F.col("hub"))).alias("nh"),
+        F.sqrt(F.sum(F.col("authority") * F.col("authority"))).alias("na"),
+    ).collect()[0]
+    nh = norms["nh"] or 1.0
+    na = norms["na"] or 1.0
+    return scored.select(
+        "node",
+        F.round(F.col("hub") / F.lit(nh), 9).alias("hub"),
+        F.round(F.col("authority") / F.lit(na), 9).alias("authority"),
+    )

@@ -199,6 +199,33 @@ def q_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.source_kl(_docs(spark, sf_dir))
 
 
+def q_link_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (operators/graphalgo.py::hits) over the
+    directed customer→supplier purchase graph (lineitem ⋈ orders) — the
+    crawl-priority complement to dedup_centrality's PageRank. Rows-only:
+    iterative double arithmetic (numpy-twin equality, partition
+    invariance, and bipartite-star semantics asserted in
+    tests/test_graphalgo.py)."""
+    from web_scraper_spark.operators import graphalgo as ga
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey"
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    edges = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    # 4 fixed iterations: HITS converges geometrically in the spectral
+    # gap of AᵀA and this bipartite graph's ranking is stable well
+    # before that; the wall is per-iteration JOB constants at toy SF
+    # (the dedup_centrality lesson), so the registered query keeps the
+    # iteration count at the knee
+    return ga.hits(edges, n_iter=4)
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document-level snapshot diff (operators/incremental.py::
     snapshot_diff) between the documents table and a deterministic
@@ -1815,6 +1842,7 @@ def queries() -> dict[str, QueryFn]:
         "incremental_dedup": q_incremental_dedup,
         "dedup_centrality": q_dedup_centrality,
         "media_container_meta": q_media_container_meta,
+        "link_hits": q_link_hits,
     }
 
 
