@@ -55,6 +55,7 @@ def test_gate_window_contract():
         "crawl_trap_stats",       # r4: per-host URL-template trap flag
         "source_kl",              # r4: per-source KL drift vs corpus
         "snapshot_diff",          # r4: added/removed/modified changelog
+        "stream_attribution",     # r4: watermarked stream-stream join
     }
 
 

@@ -174,3 +174,37 @@ def test_stream_dedup_watermark_invariant_holds_in_data(spark):
                       FROM '/root/testdata/sf{sf}/events.parquet' GROUP BY 1)"""
         ).fetchall()[0]
         assert max_span <= 2 * 3600, f"sf{sf}: dup span {max_span}s exceeds watermark"
+
+
+def test_stream_attribution_join_semantics(spark, tmp_path):
+    """Hand-computed attribution pairs through the REAL streaming path:
+    same-user click within 1 h matches (boundary at exactly +1 h
+    INCLUDED — <= bound), a click 1 h 1 s later does not, a click BEFORE
+    the view does not, and cross-user pairs never form. A view matching
+    two clicks yields two rows (inner-join semantics)."""
+    from web_scraper_spark.streaming.windows import stream_attribution
+
+    d = str(tmp_path)
+    t0 = datetime(2024, 3, 1, 12, 0, 0)
+
+    def at(minutes=0, seconds=0):
+        return t0 + pd.Timedelta(minutes=minutes, seconds=seconds)
+
+    rows = [
+        # user 1: view at 12:00; clicks at +10 min, +60 min (boundary),
+        # +61 min (out), and -5 min (before the view)
+        (1, at(0), 1, "view", 0.0, "{}"),
+        (2, at(10), 1, "click", 0.0, "{}"),
+        (3, at(60), 1, "click", 0.0, "{}"),
+        (4, at(61), 1, "click", 0.0, "{}"),
+        (5, at(-5), 1, "click", 0.0, "{}"),
+        # user 2 clicks right after user 1's view: must not pair
+        (6, at(1), 2, "click", 0.0, "{}"),
+        (7, at(30), 2, "view", 0.0, "{}"),
+    ]
+    _write_batch(d, "events.parquet", rows)
+    got = {
+        (r["user_id"], r["view_id"], r["click_id"])
+        for r in stream_attribution(spark, d).collect()
+    }
+    assert got == {(1, 1, 2), (1, 1, 3)}

@@ -1140,6 +1140,22 @@ def q_stream_slot_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_slot_counts(spark, sf_dir)
 
 
+def _attribution_sql_oracle() -> str:
+    from web_scraper_spark.streaming.windows import attribution_sql
+
+    return attribution_sql()
+
+
+def q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream join (view → click within 1 hour, same
+    user) run as a real Structured Streaming query; value-exact vs the
+    DuckDB interval join under the single-batch horizon contract
+    (streaming/windows.py::stream_attribution)."""
+    from web_scraper_spark.streaming.windows import stream_attribution
+
+    return stream_attribution(spark, sf_dir)
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST3 stateful streaming dedup on event_id."""
     from web_scraper_spark.streaming.windows import stream_dedup_counts
@@ -1817,6 +1833,8 @@ def queries() -> dict[str, QueryFn]:
         "source_kl": q_source_kl,
         # r4: snapshot changelog (added/removed/modified) — oracled
         "snapshot_diff": q_snapshot_diff,
+        # r4: watermarked stream-stream attribution join — oracled
+        "stream_attribution": q_stream_attribution,
         # rows-only (non-SQL: BLAS summation order / ML fit / UDF-stateful /
         # crawl fixpoint) — pytest-verified
         # (equality-to-oracled-twin / recall / simulator-equivalence).
@@ -1896,6 +1914,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_diff": inc.snapshot_diff_sql(
             "SELECT doc_id, text FROM documents", SNAPSHOT_V2_CTE
         ),
+        "stream_attribution": _attribution_sql_oracle(),
         "sitemap_parse": (
             "WITH " + SITEMAP_PARSE_SQL_BODIES + ", entries AS ("
             + sm.sitemap_entries_sql("bodies")

@@ -144,3 +144,86 @@ def stream_dedup_counts(
     dedup = ev.dropDuplicatesWithinWatermark(["event_id"])
     agg = dedup.groupBy("event_type").agg(F.count("*").alias("n_unique"))
     return _run_to_memory(agg, "complete")
+
+
+def attribution_join(views: DataFrame, clicks: DataFrame, max_lag: str = "1 hour") -> DataFrame:
+    """Watermarked stream-stream INNER join: every (view, click) pair by
+    the same user where the click lands within ``max_lag`` after the
+    view — the attribution shape (ad view → conversion click). Works on
+    both streaming and batch frames: the time-bound join condition is
+    identical; on streams the watermarks plus the two-sided time bound
+    are what let Spark EVICT join state (a view older than the bound can
+    never match a future click, so its state row is dropped) — without
+    them a stream-stream join's state grows with the stream's lifetime,
+    the unbounded-state scale-killer.
+
+    Inputs: views (view_id, uid, view_ts), clicks (click_id, uid,
+    click_ts), watermarks already applied by the caller on the streaming
+    path. Output columns are pure keys + timestamps (no derived lag:
+    Spark's timestampdiff counts elapsed whole units while DuckDB's
+    datediff counts boundary crossings — a portability trap on
+    sub-second data, so the oracle contract stays on exact values)."""
+    return views.join(
+        clicks,
+        on=[
+            views["uid"] == clicks["uid"],
+            F.col("click_ts") >= F.col("view_ts"),
+            F.col("click_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {max_lag}"),
+        ],
+        how="inner",
+    ).select(
+        views["uid"].alias("user_id"),
+        "view_id",
+        "click_id",
+        "view_ts",
+        "click_ts",
+    )
+
+
+def stream_attribution(
+    spark: SparkSession, sf_dir: str, max_lag: str = "1 hour", watermark: str = "1 hour"
+) -> DataFrame:
+    """ST-tier stream-stream join over the events source: the view and
+    click substreams of the same arriving-files stream, joined within
+    ``max_lag``. Runs as a REAL Structured Streaming query
+    (Trigger.AvailableNow, append memory sink); with the single-batch
+    AvailableNow source the watermark drops nothing, so the result is
+    value-exact against the batch/DuckDB interval join — the same
+    horizon contract stream_dedup_counts documents."""
+    views = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("uid"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    clicks = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("uid"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    return _run_to_memory(attribution_join(views, clicks, max_lag), "append")
+
+
+def attribution_sql(max_lag_sql: str = "INTERVAL 1 HOUR") -> str:
+    """DuckDB twin of stream_attribution over the events view."""
+    return f"""
+        SELECT v.user_id,
+               v.event_id AS view_id,
+               c.event_id AS click_id,
+               v.ts AS view_ts,
+               c.ts AS click_ts
+        FROM events v
+        JOIN events c
+          ON v.user_id = c.user_id
+         AND v.event_type = 'view' AND c.event_type = 'click'
+         AND c.ts >= v.ts AND c.ts <= v.ts + {max_lag_sql}
+    """
