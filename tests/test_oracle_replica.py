@@ -56,6 +56,7 @@ def test_gate_window_contract():
         "source_kl",              # r4: per-source KL drift vs corpus
         "snapshot_diff",          # r4: added/removed/modified changelog
         "stream_attribution",     # r4: watermarked stream-stream join
+        "recrawl_policy",         # r4: change-rate recrawl estimator
     }
 
 

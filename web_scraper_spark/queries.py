@@ -27,6 +27,7 @@ from web_scraper_spark.operators import lm as lmod
 from web_scraper_spark.operators import dedup as dd
 from web_scraper_spark.operators import multimodal as mm
 from web_scraper_spark.frontier import sitemap as sm
+from web_scraper_spark.frontier import recrawl as rc
 from web_scraper_spark.frontier import traps as tr
 from web_scraper_spark.sources import warc as wa
 from web_scraper_spark.operators import phrase as ph
@@ -881,6 +882,37 @@ def q_crawl_trap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when((F.col("o_custkey") % 40).isin(3, 17), trap_path).otherwise(normal_path),
     )
     return tr.trap_stats(orders.select(url.alias("url")))
+
+
+def q_recrawl_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cho–Garcia-Molina change-rate estimation (frontier/recrawl.py::
+    change_rate) over a deterministic synthetic fetch history: 300 URLs
+    (custkey mod), fetch_seq = orderkey, and a content hash that steps
+    every K orderkeys with K varying per URL (100·(1 + custkey%50)) —
+    small-K URLs change nearly every fetch (hot tier), large-K ones
+    almost never (cold). The SQL oracle synthesizes the identical
+    history, so rates and tiers are value-exact."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    url = F.concat(F.lit("u"), (F.col("o_custkey") % 300).cast("string"))
+    k = 100 * (1 + F.col("o_custkey") % 50)
+    version = F.floor(F.col("o_orderkey") / k).cast("bigint").cast("string")
+    fetches = orders.select(
+        url.alias("url"),
+        F.col("o_orderkey").alias("fetch_seq"),
+        F.md5(F.concat(url, F.lit(":"), version)).alias("content_hash"),
+    )
+    return rc.change_rate(fetches)
+
+
+RECRAWL_FETCHES_CTE = """
+    SELECT 'u' || CAST(o_custkey % 300 AS VARCHAR) AS url,
+           o_orderkey AS fetch_seq,
+           md5('u' || CAST(o_custkey % 300 AS VARCHAR) || ':'
+               || CAST(CAST(FLOOR(o_orderkey
+                       / (100 * (1 + o_custkey % 50))) AS BIGINT) AS VARCHAR))
+               AS content_hash
+    FROM orders
+"""
 
 
 TRAP_URLS_CTE = """
@@ -1835,6 +1867,8 @@ def queries() -> dict[str, QueryFn]:
         "snapshot_diff": q_snapshot_diff,
         # r4: watermarked stream-stream attribution join — oracled
         "stream_attribution": q_stream_attribution,
+        # r4: Cho–Garcia-Molina recrawl change-rate estimator — oracled
+        "recrawl_policy": q_recrawl_policy,
         # rows-only (non-SQL: BLAS summation order / ML fit / UDF-stateful /
         # crawl fixpoint) — pytest-verified
         # (equality-to-oracled-twin / recall / simulator-equivalence).
@@ -1915,6 +1949,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, text FROM documents", SNAPSHOT_V2_CTE
         ),
         "stream_attribution": _attribution_sql_oracle(),
+        "recrawl_policy": rc.change_rate_sql(RECRAWL_FETCHES_CTE),
         "sitemap_parse": (
             "WITH " + SITEMAP_PARSE_SQL_BODIES + ", entries AS ("
             + sm.sitemap_entries_sql("bodies")
