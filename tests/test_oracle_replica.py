@@ -57,6 +57,8 @@ def test_gate_window_contract():
         "snapshot_diff",          # r4: added/removed/modified changelog
         "stream_attribution",     # r4: watermarked stream-stream join
         "recrawl_policy",         # r4: change-rate recrawl estimator
+        "anchor_text",            # r4: anchor-text aggregation per target
+        "frontier_priority",      # r4: inlink-scored priority queue
     }
 
 

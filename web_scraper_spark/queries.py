@@ -27,6 +27,7 @@ from web_scraper_spark.operators import lm as lmod
 from web_scraper_spark.operators import dedup as dd
 from web_scraper_spark.operators import multimodal as mm
 from web_scraper_spark.frontier import sitemap as sm
+from web_scraper_spark.frontier import linkgraph as lg
 from web_scraper_spark.frontier import recrawl as rc
 from web_scraper_spark.frontier import traps as tr
 from web_scraper_spark.sources import warc as wa
@@ -924,6 +925,95 @@ TRAP_URLS_CTE = """
                 THEN '/cat/' || CAST(o_orderkey % 8 AS VARCHAR) || '/page'
                 ELSE '/item/' || CAST(o_orderkey % 50 AS VARCHAR)
            END AS url
+    FROM orders
+"""
+
+
+def _synthetic_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hyperlink graph derived from lineitem: (src, dst,
+    anchor). 30 hosts × 500 pages each; src keyed on (suppkey, partkey),
+    dst on (partkey, orderkey), anchor text three vocabulary words. The
+    SQL twin LINKS_CTE synthesizes the identical rows."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+
+    def url(host, page):
+        return F.concat(
+            F.lit("https://h"),
+            host.cast("string"),
+            F.lit(".example/p"),
+            page.cast("string"),
+        )
+
+    return li.select(
+        url(F.col("l_suppkey") % 30, F.col("l_partkey") % 500).alias("src"),
+        url(F.col("l_partkey") % 30, F.col("l_orderkey") % 500).alias("dst"),
+        F.concat(
+            F.lit("w"),
+            (F.col("l_partkey") % 40).cast("string"),
+            F.lit(" w"),
+            ((F.col("l_partkey") + 7) % 40).cast("string"),
+            F.lit(" w"),
+            (F.col("l_orderkey") % 40).cast("string"),
+        ).alias("anchor"),
+    )
+
+
+LINKS_CTE = """
+    SELECT 'https://h' || CAST(l_suppkey % 30 AS VARCHAR) || '.example/p'
+               || CAST(l_partkey % 500 AS VARCHAR) AS src,
+           'https://h' || CAST(l_partkey % 30 AS VARCHAR) || '.example/p'
+               || CAST(l_orderkey % 500 AS VARCHAR) AS dst,
+           'w' || CAST(l_partkey % 40 AS VARCHAR)
+               || ' w' || CAST((l_partkey + 7) % 40 AS VARCHAR)
+               || ' w' || CAST(l_orderkey % 40 AS VARCHAR) AS anchor
+    FROM lineitem
+"""
+
+
+def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation (frontier/linkgraph.py::anchor_summary)
+    over the deterministic synthetic link graph: per target URL, inlink
+    count, distinct referring hosts, and the top-3 anchor terms — the
+    Brin & Page §2.2 / Nutch AnchorIndexer signal the reference's
+    listing-walk (`/root/reference/CrawlPaper_TuoiTre.py:60-118`) never
+    aggregates. Value-exact: the SQL oracle synthesizes identical links."""
+    from web_scraper_spark.frontier import linkgraph as lg
+
+    return lg.anchor_summary(_synthetic_links(spark, sf_dir))
+
+
+def q_frontier_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inlink-scored priority frontier queue (frontier/linkgraph.py::
+    frontier_priority): frontier(url, depth) from orders, inlink evidence
+    from the synthetic link graph, integer priority, and a TOTAL-ORDER
+    queue position via the two-phase global rank (no single-task window —
+    plan-asserted in tests/test_plans.py). The north-star's "priority
+    frontier queue (depth + inlink score) materialized as sorted
+    partitions", value-exact against a DuckDB global-window oracle."""
+    from web_scraper_spark.frontier import linkgraph as lg
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    frontier = orders.select(
+        F.concat(
+            F.lit("https://h"),
+            (F.col("o_custkey") % 30).cast("string"),
+            F.lit(".example/p"),
+            (F.col("o_orderkey") % 500).cast("string"),
+        ).alias("url"),
+        ((F.col("o_custkey") % 30 + F.col("o_orderkey") % 500) % 6)
+        .cast("bigint")
+        .alias("depth"),
+    ).distinct()
+    return lg.frontier_priority(frontier, _synthetic_links(spark, sf_dir))
+
+
+FRONTIER_CTE = """
+    SELECT DISTINCT
+           'https://h' || CAST(o_custkey % 30 AS VARCHAR) || '.example/p'
+               || CAST(o_orderkey % 500 AS VARCHAR) AS url,
+           ((o_custkey % 30 + o_orderkey % 500) % 6)::BIGINT AS depth
     FROM orders
 """
 
@@ -1869,6 +1959,10 @@ def queries() -> dict[str, QueryFn]:
         "stream_attribution": q_stream_attribution,
         # r4: Cho–Garcia-Molina recrawl change-rate estimator — oracled
         "recrawl_policy": q_recrawl_policy,
+        # r4: anchor-text aggregation + inlink-priority frontier queue
+        # over the deterministic synthetic link graph — oracled
+        "anchor_text": q_anchor_text,
+        "frontier_priority": q_frontier_priority,
         # rows-only (non-SQL: BLAS summation order / ML fit / UDF-stateful /
         # crawl fixpoint) — pytest-verified
         # (equality-to-oracled-twin / recall / simulator-equivalence).
@@ -1950,6 +2044,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "stream_attribution": _attribution_sql_oracle(),
         "recrawl_policy": rc.change_rate_sql(RECRAWL_FETCHES_CTE),
+        "anchor_text": lg.anchor_summary_sql(LINKS_CTE),
+        "frontier_priority": lg.frontier_priority_sql(FRONTIER_CTE, LINKS_CTE),
         "sitemap_parse": (
             "WITH " + SITEMAP_PARSE_SQL_BODIES + ", entries AS ("
             + sm.sitemap_entries_sql("bodies")
