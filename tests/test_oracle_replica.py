@@ -59,6 +59,7 @@ def test_gate_window_contract():
         "recrawl_policy",         # r4: change-rate recrawl estimator
         "anchor_text",            # r4: anchor-text aggregation per target
         "frontier_priority",      # r4: inlink-scored priority queue
+        "mirror_hosts",           # r4: Bharat–Broder mirror detection
     }
 
 

@@ -28,6 +28,7 @@ from web_scraper_spark.operators import dedup as dd
 from web_scraper_spark.operators import multimodal as mm
 from web_scraper_spark.frontier import sitemap as sm
 from web_scraper_spark.frontier import linkgraph as lg
+from web_scraper_spark.frontier import mirrors as mi
 from web_scraper_spark.frontier import recrawl as rc
 from web_scraper_spark.frontier import traps as tr
 from web_scraper_spark.sources import warc as wa
@@ -1018,6 +1019,50 @@ FRONTIER_CTE = """
 """
 
 
+def q_mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror-host detection (frontier/mirrors.py::mirror_pairs, Bharat &
+    Broder 1999) over a deterministic synthetic host/path population: 40
+    hosts in 20 families; partners h and h+20 share a family path space
+    (J up to 1.0); hosts 0-3 additionally serve host-private ``/x/``
+    paths, degrading their partner Jaccard toward the 0.5 threshold. The
+    SQL oracle synthesizes the identical URLs, so intersection counts,
+    set sizes, and Jaccard are value-exact."""
+    from web_scraper_spark.frontier import mirrors as mi
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    host = (F.col("o_custkey") % 40).cast("string")
+    extra = F.concat(
+        F.lit("/x/"), host, F.lit("/"), (F.col("o_orderkey") % 6).cast("string")
+    )
+    normal = F.concat(
+        F.lit("/d/"),
+        (F.col("o_custkey") % 20).cast("string"),
+        F.lit("-"),
+        (F.col("o_orderkey") % 12).cast("string"),
+    )
+    url = F.concat(
+        F.lit("https://m"),
+        host,
+        F.lit(".example"),
+        F.when(
+            ((F.col("o_custkey") % 40) < 4) & (F.col("o_orderkey") % 3 == 0), extra
+        ).otherwise(normal),
+    )
+    return mi.mirror_pairs(orders.select(url.alias("url")))
+
+
+MIRROR_URLS_CTE = """
+    SELECT 'https://m' || CAST(o_custkey % 40 AS VARCHAR) || '.example' ||
+           CASE WHEN (o_custkey % 40) < 4 AND o_orderkey % 3 = 0
+                THEN '/x/' || CAST(o_custkey % 40 AS VARCHAR) || '/'
+                     || CAST(o_orderkey % 6 AS VARCHAR)
+                ELSE '/d/' || CAST(o_custkey % 20 AS VARCHAR) || '-'
+                     || CAST(o_orderkey % 12 AS VARCHAR)
+           END AS url
+    FROM orders
+"""
+
+
 def q_quality_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles of the quality score per language
     (the corpus-threshold calibration query a cleaning pipeline runs
@@ -1963,6 +2008,8 @@ def queries() -> dict[str, QueryFn]:
         # over the deterministic synthetic link graph — oracled
         "anchor_text": q_anchor_text,
         "frontier_priority": q_frontier_priority,
+        # r4: Bharat–Broder mirror-host detection — oracled
+        "mirror_hosts": q_mirror_hosts,
         # rows-only (non-SQL: BLAS summation order / ML fit / UDF-stateful /
         # crawl fixpoint) — pytest-verified
         # (equality-to-oracled-twin / recall / simulator-equivalence).
@@ -2046,6 +2093,7 @@ def oracle_sql() -> dict[str, str]:
         "recrawl_policy": rc.change_rate_sql(RECRAWL_FETCHES_CTE),
         "anchor_text": lg.anchor_summary_sql(LINKS_CTE),
         "frontier_priority": lg.frontier_priority_sql(FRONTIER_CTE, LINKS_CTE),
+        "mirror_hosts": mi.mirror_pairs_sql(MIRROR_URLS_CTE),
         "sitemap_parse": (
             "WITH " + SITEMAP_PARSE_SQL_BODIES + ", entries AS ("
             + sm.sitemap_entries_sql("bodies")
