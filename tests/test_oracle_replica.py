@@ -60,6 +60,7 @@ def test_gate_window_contract():
         "anchor_text",            # r4: anchor-text aggregation per target
         "frontier_priority",      # r4: inlink-scored priority queue
         "mirror_hosts",           # r4: Bharat–Broder mirror detection
+        "cms_heavy_hitters",      # r4: Count-Min frequency sketch top-k
     }
 
 

@@ -88,3 +88,47 @@ def test_hll_plan_map_side_combine_no_distinct(spark):
     assert "partial_max" in plan or "HashAggregate" in plan
     assert "distinct" not in plan.lower()
     assert "SinglePartition" not in plan and "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+
+def test_cms_estimate_is_overestimate_and_tight_on_heavy_hitters(spark):
+    # 'heavy' appears 400x, a long tail of 300 singletons; with w=2048
+    # and only 301 distinct tokens, the heavy hitter's min-cell is almost
+    # surely collision-free -> est == exact; and est >= exact ALWAYS.
+    rows = [(0, " ".join(["heavy"] * 400), "en")]
+    rows += [(i + 1, f"tail{i}", "en") for i in range(300)]
+    docs = _docs(spark, rows)
+    out = {r["token"]: r for r in sk.cms_topk(docs, k=5).collect()}
+    assert out["heavy"]["exact"] == 400
+    assert out["heavy"]["est"] == 400  # top cell collision-free at this load
+    top = sk.cms_topk(docs, k=5).collect()
+    assert top[0]["token"] == "heavy"
+    assert all(r["est"] >= r["exact"] for r in top)
+
+
+def test_cms_shard_merge_is_lossless(spark):
+    a = _vocab_docs(spark, "en", 500)
+    b = _vocab_docs(spark, "en", 800)  # overlapping vocabulary
+    whole = sk.cms_registers(a.unionByName(b))
+    merged = sk.cms_merge(sk.cms_registers(a), sk.cms_registers(b))
+    assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, merged.collect()))
+
+
+def test_cms_partition_invariance(spark):
+    docs = _vocab_docs(spark, "fr", 1_000)
+    one = sk.cms_registers(docs.repartition(1))
+    many = sk.cms_registers(docs.repartition(13, "doc_id"))
+    assert sorted(map(tuple, one.collect())) == sorted(map(tuple, many.collect()))
+
+
+def test_cms_probe_join_is_broadcast(spark):
+    docs = _vocab_docs(spark, "en", 200)
+    plan = sk.cms_topk(docs)._jdf.queryExecution().executedPlan().toString()
+    # the register frame (<= d*w rows) must reach the probe join as a
+    # broadcast, and nothing in the sketch may serialize to one task
+    assert "BroadcastHashJoin" in plan
+    assert "SinglePartition" not in plan and "CartesianProduct" not in plan

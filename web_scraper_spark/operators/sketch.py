@@ -174,3 +174,134 @@ def hll_estimate(m: int, v_zero: int, s_num: int, p: int = HLL_P) -> float:
     if e <= 2.5 * m and v_zero > 0:
         return m * math.log(m / v_zero)
     return e
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005) — heavy-hitter counting
+# ---------------------------------------------------------------------------
+#
+# The companion point-FREQUENCY sketch to HLL's cardinality: d hash rows of
+# w counters; update adds 1 to one counter per row, the point query reads
+# the MINIMUM of a token's d counters (always an overestimate, off by at
+# most eN/w with probability 1-(1/2)^d-ish). The state is d*w integers —
+# mergeable by cell-wise SUM, so per-shard / per-day sketches roll up with
+# one tiny groupBy exactly like the HLL registers roll up with max. Built
+# RELATIONALLY from the seeded hash60 family so the DuckDB oracle
+# reproduces every counter bit-for-bit (same portability argument as HLL:
+# integer state only, no float estimate in the oracled surface).
+
+CMS_D = 4     # depth: 4 independent hash rows
+CMS_W = 2048  # width: overestimate <= e*N/2048 per row, before taking min
+
+
+def cms_registers(docs: DataFrame, d: int = CMS_D, w: int = CMS_W) -> DataFrame:
+    """Corpus token-frequency CMS: ``(depth, bucket, cnt)``, absent cells
+    are zero. One token explode fanned ×d by a literal depth array (pure
+    codegen), then ONE map-side-combined groupBy — every partition
+    collapses to <= d*w rows before the exchange, the whole point at
+    100 TB."""
+    from web_scraper_spark.operators.dedup import _fan_out
+    from web_scraper_spark.operators.hashing import seeded_hash60
+
+    tok = tokens(F.lower(clean_text(F.col("text"))))
+    toks = _fan_out(docs.select("text")).select(F.explode(tok).alias("t"))
+    cells = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).cast("int").alias("depth"),
+                        (seeded_hash60(s, F.col("t")) % w).alias("bucket"),
+                    )
+                    for s in range(d)
+                ]
+            )
+        ).alias("cell")
+    )
+    return cells.groupBy("cell.depth", "cell.bucket").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+
+
+def cms_merge(*reg_frames: DataFrame) -> DataFrame:
+    """Union shard sketches losslessly: cell-wise sum (pytest-asserted
+    identical to sketching the concatenated corpus)."""
+    merged = reg_frames[0]
+    for r in reg_frames[1:]:
+        merged = merged.unionByName(r)
+    return merged.groupBy("depth", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_topk(
+    docs: DataFrame, k: int = 20, d: int = CMS_D, w: int = CMS_W
+) -> DataFrame:
+    """Top-k corpus tokens by CMS estimate: ``(token, exact, est)``,
+    est = min over the d rows of the token's counter (>= exact always;
+    == exact when none of its d cells collides). The candidate probe is
+    an exact token groupBy (which also yields ``exact`` for the
+    overestimate check); the sketch's scale value is the MERGEABLE d*w
+    register state — cross-shard rollup never re-touches token text —
+    and the probe join is a broadcast (the register frame is <= d*w rows
+    by construction, plan-asserted)."""
+    from web_scraper_spark.operators.dedup import _fan_out
+    from web_scraper_spark.operators.hashing import seeded_hash60
+
+    regs = cms_registers(docs, d, w)
+    tok = tokens(F.lower(clean_text(F.col("text"))))
+    toks = _fan_out(docs.select("text")).select(F.explode(tok).alias("t"))
+    exact = toks.groupBy("t").agg(F.count("*").cast("bigint").alias("exact"))
+    probes = exact.select(
+        "t",
+        "exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).cast("int").alias("depth"),
+                        (seeded_hash60(s, F.col("t")) % w).alias("bucket"),
+                    )
+                    for s in range(d)
+                ]
+            )
+        ).alias("cell"),
+    ).select("t", "exact", "cell.depth", "cell.bucket")
+    est = (
+        probes.join(F.broadcast(regs), ["depth", "bucket"])
+        .groupBy("t", "exact")
+        .agg(F.min("cnt").alias("est"))
+    )
+    return (
+        est.orderBy(F.col("est").desc(), F.col("t").asc())
+        .limit(k)
+        .select(F.col("t").alias("token"), "exact", "est")
+    )
+
+
+def cms_topk_sql(k: int = 20, d: int = CMS_D, w: int = CMS_W) -> str:
+    """DuckDB twin of :func:`cms_topk` over the ``documents`` view."""
+    tok = tokens_sql(f"lower({clean_text_sql('text')})")
+    h = hash60_sql("CAST(depth AS VARCHAR) || ':' || t")
+    depths = ", ".join(str(s) for s in range(d))
+    return f"""
+        WITH toks AS (
+            SELECT unnest({tok}) AS t FROM documents
+        ),
+        cells AS (
+            SELECT depth, {h} % {w} AS bucket, count(*)::BIGINT AS cnt
+            FROM toks CROSS JOIN (SELECT unnest([{depths}]) AS depth) ds
+            GROUP BY 1, 2
+        ),
+        exact AS (
+            SELECT t, count(*)::BIGINT AS exact FROM toks GROUP BY 1
+        ),
+        probes AS (
+            SELECT t, exact, depth, {h} % {w} AS bucket
+            FROM exact CROSS JOIN (SELECT unnest([{depths}]) AS depth) ds
+        )
+        SELECT p.t AS token, p.exact, min(c.cnt) AS est
+        FROM probes p
+        JOIN cells c ON c.depth = p.depth AND c.bucket = p.bucket
+        GROUP BY 1, 2
+        ORDER BY est DESC, token ASC
+        LIMIT {k}
+    """

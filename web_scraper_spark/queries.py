@@ -271,6 +271,15 @@ def q_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sko.hll_token_sketch(_docs(spark, sf_dir))
 
 
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy hitters (operators/sketch.py::cms_topk, Cormode &
+    Muthukrishnan 2005): top-20 corpus tokens by sketch estimate next to
+    their exact counts — the mergeable point-frequency companion to
+    hll_cardinality. Value-exact: both engines build the identical d×w
+    integer counter table from the seeded hash60 family."""
+    return sko.cms_topk(_docs(spark, sf_dir))
+
+
 def q_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lee et al. 2022 substring dedup as a transformation: rewrite each
     document with every duplicated span removed, corpus-first occurrence
@@ -2010,6 +2019,8 @@ def queries() -> dict[str, QueryFn]:
         "frontier_priority": q_frontier_priority,
         # r4: Bharat–Broder mirror-host detection — oracled
         "mirror_hosts": q_mirror_hosts,
+        # r4: Count-Min heavy hitters (mergeable frequency sketch) — oracled
+        "cms_heavy_hitters": q_cms_heavy_hitters,
         # rows-only (non-SQL: BLAS summation order / ML fit / UDF-stateful /
         # crawl fixpoint) — pytest-verified
         # (equality-to-oracled-twin / recall / simulator-equivalence).
@@ -2094,6 +2105,7 @@ def oracle_sql() -> dict[str, str]:
         "anchor_text": lg.anchor_summary_sql(LINKS_CTE),
         "frontier_priority": lg.frontier_priority_sql(FRONTIER_CTE, LINKS_CTE),
         "mirror_hosts": mi.mirror_pairs_sql(MIRROR_URLS_CTE),
+        "cms_heavy_hitters": sko.cms_topk_sql(),
         "sitemap_parse": (
             "WITH " + SITEMAP_PARSE_SQL_BODIES + ", entries AS ("
             + sm.sitemap_entries_sql("bodies")
