@@ -61,6 +61,7 @@ def test_gate_window_contract():
         "frontier_priority",      # r4: inlink-scored priority queue
         "mirror_hosts",           # r4: Bharat–Broder mirror detection
         "cms_heavy_hitters",      # r4: Count-Min frequency sketch top-k
+        "url_canonicalize",       # r4: RFC 3986 canon vs native SQL twin
     }
 
 

@@ -36,6 +36,7 @@ from web_scraper_spark.operators import phrase as ph
 from web_scraper_spark.operators import search as se
 from web_scraper_spark.operators import sketch as sko
 from web_scraper_spark.operators import similarity as sim
+from web_scraper_spark.urls import canon_url_sql
 from web_scraper_spark.operators.text import (
     BPE_TOKEN_RE,
     bpe_token_count,
@@ -1072,6 +1073,58 @@ MIRROR_URLS_CTE = """
 """
 
 
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 3986 URL canonicalization (urls.py::with_canon — the north
+    rule's normalize step ahead of the xxhash64 seen-set) over a
+    deterministic synthetic URL population exercising every native rule:
+    scheme/host case-fold, default-port strip (:80/:443, non-default
+    kept), fragment strip, duplicate-slash collapse, empty-path → '/',
+    query preservation, and non-absolute passthrough. The oracle runs
+    urls.canon_url_sql — the regexp-for-regexp DuckDB twin of the native
+    Catalyst chain; the %-escape branch receives zero rows here and is
+    property-tested against canon_url_py in tests/test_urls.py."""
+    from web_scraper_spark.urls import with_canon
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    h = (F.col("o_custkey") % 20).cast("string")
+    k = (F.col("o_orderkey") % 50).cast("string")
+    case = F.col("o_orderkey") % 8
+    url = (
+        F.when(case == 0, F.concat(F.lit("http://site"), h, F.lit(".example/p/"), k))
+        .when(case == 1, F.concat(F.lit("HTTP://SITE"), h, F.lit(".EXAMPLE/P/"), k))
+        .when(case == 2, F.concat(F.lit("http://site"), h, F.lit(".example:80/p/"), k))
+        .when(case == 3, F.concat(F.lit("https://site"), h, F.lit(".example:443/p/"), k))
+        .when(case == 4, F.concat(F.lit("https://site"), h, F.lit(".example:8443/p/"), k))
+        .when(case == 5, F.concat(F.lit("http://site"), h, F.lit(".example")))
+        .when(case == 6, F.concat(F.lit("http://site"), h, F.lit(".example//a//"), k, F.lit("?q=1#frag")))
+        .otherwise(F.concat(F.lit("relative/p/"), k))
+    )
+    return with_canon(orders.select(url.alias("url"))).distinct()
+
+
+CANON_URLS_CTE = """
+    SELECT CASE o_orderkey % 8
+             WHEN 0 THEN 'http://site' || CAST(o_custkey % 20 AS VARCHAR)
+                        || '.example/p/' || CAST(o_orderkey % 50 AS VARCHAR)
+             WHEN 1 THEN 'HTTP://SITE' || CAST(o_custkey % 20 AS VARCHAR)
+                        || '.EXAMPLE/P/' || CAST(o_orderkey % 50 AS VARCHAR)
+             WHEN 2 THEN 'http://site' || CAST(o_custkey % 20 AS VARCHAR)
+                        || '.example:80/p/' || CAST(o_orderkey % 50 AS VARCHAR)
+             WHEN 3 THEN 'https://site' || CAST(o_custkey % 20 AS VARCHAR)
+                        || '.example:443/p/' || CAST(o_orderkey % 50 AS VARCHAR)
+             WHEN 4 THEN 'https://site' || CAST(o_custkey % 20 AS VARCHAR)
+                        || '.example:8443/p/' || CAST(o_orderkey % 50 AS VARCHAR)
+             WHEN 5 THEN 'http://site' || CAST(o_custkey % 20 AS VARCHAR)
+                        || '.example'
+             WHEN 6 THEN 'http://site' || CAST(o_custkey % 20 AS VARCHAR)
+                        || '.example//a//' || CAST(o_orderkey % 50 AS VARCHAR)
+                        || '?q=1#frag'
+             ELSE 'relative/p/' || CAST(o_orderkey % 50 AS VARCHAR)
+           END AS url
+    FROM orders
+"""
+
+
 def q_quality_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles of the quality score per language
     (the corpus-threshold calibration query a cleaning pipeline runs
@@ -2021,6 +2074,8 @@ def queries() -> dict[str, QueryFn]:
         "mirror_hosts": q_mirror_hosts,
         # r4: Count-Min heavy hitters (mergeable frequency sketch) — oracled
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        # r4: RFC 3986 canonicalization vs the native-chain SQL twin — oracled
+        "url_canonicalize": q_url_canonicalize,
         # rows-only (non-SQL: BLAS summation order / ML fit / UDF-stateful /
         # crawl fixpoint) — pytest-verified
         # (equality-to-oracled-twin / recall / simulator-equivalence).
@@ -2106,6 +2161,10 @@ def oracle_sql() -> dict[str, str]:
         "frontier_priority": lg.frontier_priority_sql(FRONTIER_CTE, LINKS_CTE),
         "mirror_hosts": mi.mirror_pairs_sql(MIRROR_URLS_CTE),
         "cms_heavy_hitters": sko.cms_topk_sql(),
+        "url_canonicalize": (
+            "WITH urls AS (" + CANON_URLS_CTE + ") SELECT DISTINCT url, "
+            + canon_url_sql("url") + " AS url_canon FROM urls"
+        ),
         "sitemap_parse": (
             "WITH " + SITEMAP_PARSE_SQL_BODIES + ", entries AS ("
             + sm.sitemap_entries_sql("bodies")

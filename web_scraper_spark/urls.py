@@ -150,3 +150,33 @@ def host_py(url: str) -> str:
     if not m:
         return ""
     return m.group("auth").lower().rsplit(":", 1)[0] if ":" in m.group("auth") else m.group("auth").lower()
+
+
+def canon_url_sql(expr: str) -> str:
+    """DuckDB twin of the all-native ``canon_url(percent_decode=False)``
+    expression chain, regexp-for-regexp (RE2-safe: no backreferences or
+    lookarounds). The %-escape branch is Python-only on both sides — the
+    oracled query feeds it zero rows; percent-decode equivalence is
+    property-tested against :func:`canon_url_py` in tests/test_urls.py."""
+    c = f"trim({expr})"
+    scheme = f"lower(regexp_extract({c}, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1))"
+    auth0 = f"lower(regexp_extract({c}, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1))"
+    auth = f"""
+        CASE WHEN {scheme} = 'http' AND {auth0} LIKE '%:80'
+                 THEN substr({auth0}, 1, length({auth0}) - 3)
+             WHEN {scheme} = 'https' AND {auth0} LIKE '%:443'
+                 THEN substr({auth0}, 1, length({auth0}) - 4)
+             ELSE {auth0} END
+    """
+    rest = f"regexp_extract({c}, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^#]*)', 1)"
+    path0 = f"regexp_replace(regexp_extract({rest}, '^([^?]*)', 1), '/{{2,}}', '/', 'g')"
+    path = f"""
+        CASE WHEN {path0} = '' THEN '/'
+             WHEN {path0} NOT LIKE '/%' THEN '/' || {path0}
+             ELSE {path0} END
+    """
+    query = f"regexp_extract({rest}, '^[^?]*(\\?.*)?$', 1)"
+    return f"""
+        CASE WHEN {scheme} = '' THEN {c}
+             ELSE {scheme} || '://' || {auth} || {path} || {query} END
+    """
