@@ -144,3 +144,64 @@ def test_hits_bipartite_star(spark):
     for a in (10, 20):
         assert got[a]["authority"] == pytest.approx(1 / np.sqrt(2), abs=1e-9)
         assert got[a]["hub"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# OPIC (Abiteboul et al. 2003)
+# ---------------------------------------------------------------------------
+
+
+def numpy_opic(edges, n_iter=8):
+    """Independent twin of graphalgo.opic: synchronous cash/history."""
+    nodes = sorted({u for e in edges for u in e})
+    idx = {u: i for i, u in enumerate(nodes)}
+    n = len(nodes)
+    deg = np.zeros(n)
+    for s, _ in set(edges):
+        deg[idx[s]] += 1
+    c = np.full(n, 1.0 / n)
+    h = np.zeros(n)
+    for _ in range(n_iter):
+        dm = c[deg == 0].sum()
+        new = np.full(n, dm / n)
+        for s, d in set(edges):
+            new[idx[d]] += c[idx[s]] / deg[idx[s]]
+        h += c
+        c = new
+    imp = (h + c) / (n_iter + 1)
+    return {u: imp[idx[u]] for u in nodes}
+
+
+def test_opic_matches_numpy_and_sums_to_one(spark):
+    from web_scraper_spark.operators.graphalgo import opic
+
+    got = {r["node"]: r["importance"] for r in opic(_edges_df(spark, EDGES)).collect()}
+    want = numpy_opic(EDGES)
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u] == pytest.approx(want[u], abs=2e-9)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+    # same hub structure as pagerank: node 1 tops the importance order
+    assert max(got, key=got.get) == 1
+
+
+def test_opic_partition_invariant(spark):
+    from web_scraper_spark.operators.graphalgo import opic
+
+    one = sorted(map(tuple, opic(_edges_df(spark, EDGES, parts=1)).collect()))
+    many = sorted(map(tuple, opic(_edges_df(spark, EDGES, parts=13)).collect()))
+    assert one == many
+
+
+def test_opic_anytime_property(spark):
+    """More rounds refine, never destroy, the ranking of a clear hub —
+    the anytime claim a crawler relies on (rank mid-crawl)."""
+    from web_scraper_spark.operators.graphalgo import opic
+
+    # dangling hub: every spoke pays the hub each round, the hub's cash
+    # re-enters uniformly — aperiodic, so the order is stable at any k
+    star = [(i, 1) for i in range(2, 8)]
+    for k in (2, 4, 8):
+        got = {r["node"]: r["importance"]
+               for r in opic(_edges_df(spark, star), n_iter=k).collect()}
+        assert max(got, key=got.get) == 1

@@ -269,3 +269,96 @@ def hits(
         F.round(F.col("hub") / F.lit(nh), 9).alias("hub"),
         F.round(F.col("authority") / F.lit(na), 9).alias("authority"),
     )
+
+
+def opic(
+    edges: DataFrame,
+    n_iter: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+    edges_distinct: bool = False,
+) -> DataFrame:
+    """OPIC — On-line Page Importance Computation (Abiteboul, Preda &
+    Cobena, WWW 2003), the importance estimator designed FOR crawlers:
+    unlike PageRank it needs no full-graph power iteration to converge
+    before being useful — cash+history give an anytime estimate that a
+    frontier can rank on mid-crawl.
+
+    Synchronous batch variant over a directed edge list → (node,
+    importance), Σ importance == 1:
+
+    - every node starts with cash 1/n and empty history;
+    - each round, a node banks its cash into history and distributes it
+      equally along its out-edges; dangling cash is redistributed
+      uniformly (the "virtual page" of the paper, without self-loops);
+    - after G rounds the estimate is X_i = (h_i + c_i) / (G + 1)
+      (total banked history is exactly 1 per round, current cash sums
+      to 1, so the denominator normalizes to Σ X = 1).
+
+    Spark shape: identical discipline to :func:`pagerank` — adjacency
+    built once and localCheckpoint'ed, each iteration ONE job whose
+    eager checkpoint both severs lineage and fires the ``Observation``
+    reporting the live (non-dangling) cash for the next round's
+    dangling redistribution; shuffles carry only (node, cash, hist)
+    triples. Fixed iteration count; rounding at the END only (9 dp).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not edges_distinct:
+        e = e.distinct()
+    out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    setup_obs = Observation()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .join(
+            out_deg.select(F.col("src").alias("node"), F.lit(1).alias("has_out")),
+            on="node",
+            how="left",
+        )
+        .select("node", F.coalesce(F.col("has_out"), F.lit(0)).alias("has_out"))
+        .observe(setup_obs, F.count("*").alias("n"), F.sum("has_out").alias("n_out"))
+        .localCheckpoint(eager=True)
+    )
+    stats = setup_obs.get
+    n_nodes, n_out = stats["n"], stats["n_out"] or 0
+    adj = e.join(out_deg, on="src").localCheckpoint(eager=True)
+
+    state = nodes.select(
+        "node",
+        "has_out",
+        F.lit(1.0 / n_nodes).alias("cash"),
+        F.lit(0.0).alias("hist"),
+    )
+    dm = (n_nodes - n_out) / n_nodes  # dangling cash of the uniform init
+    for it in range(n_iter):
+        contrib = (
+            adj.join(state, adj.src == state.node)
+            .select(F.col("dst").alias("node"), (F.col("cash") / F.col("deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_cash"))
+        )
+        state = state.join(contrib, on="node", how="left").select(
+            "node",
+            "has_out",
+            (F.coalesce(F.col("in_cash"), F.lit(0.0)) + F.lit(dm / n_nodes)).alias(
+                "cash"
+            ),
+            (F.col("hist") + F.col("cash")).alias("hist"),
+        )
+        if it == n_iter - 1:
+            break
+        obs = Observation()
+        state = state.observe(
+            obs,
+            F.sum(
+                F.when(F.col("has_out") == 1, F.col("cash")).otherwise(F.lit(0.0))
+            ).alias("live"),
+        ).localCheckpoint(eager=True)
+        dm = 1.0 - obs.get["live"]
+    return state.select(
+        "node",
+        F.round((F.col("hist") + F.col("cash")) / F.lit(float(n_iter + 1)), 9).alias(
+            "importance"
+        ),
+    )

@@ -1073,6 +1073,63 @@ MIRROR_URLS_CTE = """
 """
 
 
+def q_opic_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPIC adaptive page importance (operators/graphalgo.py::opic,
+    Abiteboul–Preda–Cobena WWW 2003) over the synthetic link graph —
+    the anytime crawl-ordering estimator (cash/history, usable
+    mid-crawl) next to frontier_priority's inlink count and
+    dedup_centrality's PageRank. Rows-only: iterative double arithmetic
+    (numpy-twin equality, partition invariance, and the anytime-ranking
+    property asserted in tests/test_graphalgo.py). 6 iterations: the
+    RANKING stabilizes at the knee; per-iteration job constants dominate
+    toy SF (the dedup_centrality lesson)."""
+    from web_scraper_spark.operators import graphalgo as ga
+
+    links = _synthetic_links(spark, sf_dir).select("src", "dst")
+    return ga.opic(links, n_iter=6)
+
+
+def q_focused_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Focused-crawl frontier scoring (Chakrabarti, van den Berg & Dom
+    1999): target URLs scored by the topic relevance of their INBOUND
+    anchor text — a broadcast topic-lexicon join over the anchor term
+    stream, decimal-summed weights so the score is value-exact across
+    engines/partitionings. The deterministic lexicon weights terms
+    w0..w9 at (10−i)/10; output is (url, n_hits, relevance) for every
+    target at least one lexicon term points at."""
+    links = _synthetic_links(spark, sf_dir)
+    lex = spark.range(10).select(
+        F.concat(F.lit("w"), F.col("id").cast("string")).alias("term"),
+        ((F.lit(10) - F.col("id")) / F.lit(10.0)).alias("w"),
+    )
+    terms = links.select("dst", F.explode(tokens(F.col("anchor"))).alias("term"))
+    return (
+        terms.join(F.broadcast(lex), "term")
+        .groupBy("dst")
+        .agg(
+            F.count("*").cast("bigint").alias("n_hits"),
+            an.dec_sum(F.col("w")).alias("relevance"),
+        )
+        .select(F.col("dst").alias("url"), "n_hits", "relevance")
+    )
+
+
+FOCUSED_ORACLE = f"""
+    WITH links AS ({{links}}),
+    lex AS (
+        SELECT 'w' || CAST(i AS VARCHAR) AS term, (10 - i) / 10.0 AS w
+        FROM range(10) t(i)
+    ),
+    terms AS (
+        SELECT dst, unnest({{tok}}) AS term FROM links
+    )
+    SELECT dst AS url, count(*)::BIGINT AS n_hits,
+           {an.dec_sum_sql('w')} AS relevance
+    FROM terms JOIN lex USING (term)
+    GROUP BY 1
+"""
+
+
 def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFC 3986 URL canonicalization (urls.py::with_canon — the north
     rule's normalize step ahead of the xxhash64 seen-set) over a
@@ -2076,6 +2133,8 @@ def queries() -> dict[str, QueryFn]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         # r4: RFC 3986 canonicalization vs the native-chain SQL twin — oracled
         "url_canonicalize": q_url_canonicalize,
+        # r4: focused-crawl anchor-relevance scoring — oracled
+        "focused_frontier": q_focused_frontier,
         # rows-only (non-SQL: BLAS summation order / ML fit / UDF-stateful /
         # crawl fixpoint) — pytest-verified
         # (equality-to-oracled-twin / recall / simulator-equivalence).
@@ -2102,6 +2161,7 @@ def queries() -> dict[str, QueryFn]:
         "dedup_centrality": q_dedup_centrality,
         "media_container_meta": q_media_container_meta,
         "link_hits": q_link_hits,
+        "opic_priority": q_opic_priority,
     }
 
 
@@ -2164,6 +2224,9 @@ def oracle_sql() -> dict[str, str]:
         "url_canonicalize": (
             "WITH urls AS (" + CANON_URLS_CTE + ") SELECT DISTINCT url, "
             + canon_url_sql("url") + " AS url_canon FROM urls"
+        ),
+        "focused_frontier": FOCUSED_ORACLE.format(
+            links=LINKS_CTE, tok=tokens_sql("anchor")
         ),
         "sitemap_parse": (
             "WITH " + SITEMAP_PARSE_SQL_BODIES + ", entries AS ("
