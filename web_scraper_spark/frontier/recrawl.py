@@ -57,12 +57,17 @@ def change_rate(fetches: DataFrame) -> DataFrame:
         F.count("*").cast("bigint").alias("n_fetches"),
         F.sum("chg").cast("bigint").alias("n_changes"),
     )
-    lam = F.round(
-        -F.log(
-            (F.col("n_fetches") - F.col("n_changes") + 0.5)
-            / (F.col("n_fetches") + 0.5)
-        ),
-        6,
+    # + 0.0 normalizes IEEE negative zero: X = 0 gives −ln(1.0) = −0.0,
+    # and the two engines render ±0.0 differently in the value hash
+    lam = (
+        F.round(
+            -F.log(
+                (F.col("n_fetches") - F.col("n_changes") + 0.5)
+                / (F.col("n_fetches") + 0.5)
+            ),
+            6,
+        )
+        + F.lit(0.0)
     )
     return agg.select(
         "url",
@@ -98,8 +103,8 @@ def change_rate_sql(fetches_cte: str) -> str:
             FROM marked GROUP BY 1
         )
         SELECT url, n_fetches, n_changes,
-               round(-ln((n_fetches - n_changes + 0.5)
-                         / (n_fetches + 0.5)), 6) AS change_rate,
+               (round(-ln((n_fetches - n_changes + 0.5)
+                          / (n_fetches + 0.5)), 6) + 0.0) AS change_rate,
                CASE WHEN round(-ln((n_fetches - n_changes + 0.5)
                                    / (n_fetches + 0.5)), 6) >= {HOT_RATE}
                     THEN 'hot'
