@@ -123,7 +123,10 @@ def stream_slot_counts_to_files(
 
 
 def stream_dedup_counts(
-    spark: SparkSession, sf_dir: str, watermark: str = "2 hours"
+    spark: SparkSession,
+    sf_dir: str,
+    watermark: str = "2 hours",
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """ST3: stateful cross-batch dedup on the event key, then per-type
     counts. The dedup state is BOUNDED by an event-time watermark
@@ -143,7 +146,16 @@ def stream_dedup_counts(
     ev = events_stream(spark, sf_dir).withWatermark("ts", watermark)
     dedup = ev.dropDuplicatesWithinWatermark(["event_id"])
     agg = dedup.groupBy("event_type").agg(F.count("*").alias("n_unique"))
-    return _run_to_memory(agg, "complete")
+    # state-partition sizing (see stream_attribution): per-partition state
+    # commit dominates at toy volume; the result is partitioning-invariant
+    if state_partitions is None:
+        return _run_to_memory(agg, "complete")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        return _run_to_memory(agg, "complete")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def attribution_join(views: DataFrame, clicks: DataFrame, max_lag: str = "1 hour") -> DataFrame:
@@ -181,7 +193,11 @@ def attribution_join(views: DataFrame, clicks: DataFrame, max_lag: str = "1 hour
 
 
 def stream_attribution(
-    spark: SparkSession, sf_dir: str, max_lag: str = "1 hour", watermark: str = "1 hour"
+    spark: SparkSession,
+    sf_dir: str,
+    max_lag: str = "1 hour",
+    watermark: str = "1 hour",
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """ST-tier stream-stream join over the events source: the view and
     click substreams of the same arriving-files stream, joined within
@@ -189,7 +205,17 @@ def stream_attribution(
     (Trigger.AvailableNow, append memory sink); with the single-batch
     AvailableNow source the watermark drops nothing, so the result is
     value-exact against the batch/DuckDB interval join — the same
-    horizon contract stream_dedup_counts documents."""
+    horizon contract stream_dedup_counts documents.
+
+    ``state_partitions`` sizes the join's state-store layout (Spark pins
+    state partitioning to ``spark.sql.shuffle.partitions`` at the first
+    run of a checkpoint — an explicit repartition cannot override the
+    StatefulOpClusteredDistribution requirement). Per-partition state
+    commit is the dominant constant at small volume: 32 → 8 partitions
+    is ~3.7× on this query at sf0.1 with identical results (the value
+    hash is partitioning-invariant). Production sizing scales this with
+    state VOLUME (rows held in the watermark horizon), not core count —
+    None inherits the session setting."""
     views = (
         events_stream(spark, sf_dir)
         .where(F.col("event_type") == "view")
@@ -210,7 +236,15 @@ def stream_attribution(
         )
         .withWatermark("click_ts", watermark)
     )
-    return _run_to_memory(attribution_join(views, clicks, max_lag), "append")
+    joined = attribution_join(views, clicks, max_lag)
+    if state_partitions is None:
+        return _run_to_memory(joined, "append")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        return _run_to_memory(joined, "append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def attribution_sql(max_lag_sql: str = "INTERVAL 1 HOUR") -> str:
