@@ -63,6 +63,7 @@ def test_gate_window_contract():
         "cms_heavy_hitters",      # r4: Count-Min frequency sketch top-k
         "url_canonicalize",       # r4: RFC 3986 canon vs native SQL twin
         "focused_frontier",       # r4: anchor-relevance focused scoring
+        "sessionize_native",      # r4: built-in session_window sessions
     }
 
 

@@ -1073,6 +1073,53 @@ MIRROR_URLS_CTE = """
 """
 
 
+def q_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE ``session_window`` (dynamic-gap session aggregation,
+    the built-in alternative to the custom lag+cumsum batch sessionizer
+    and the applyInPandasWithState stream): one groupBy, merge-on-overlap
+    semantics. Boundary convention differs from streaming/sessionize.py
+    at exactly-gap spacing — session_window windows are half-open
+    ``[ts, ts+gap)``, so a successor at precisely +gap starts a NEW
+    session (the custom tier keeps it); the DuckDB twin mirrors ``>=``.
+    session_end is the native window end = last event + gap."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+SESSIONIZE_NATIVE_ORACLE = """
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+                         (PARTITION BY user_id ORDER BY ts, event_id))
+                         >= 1800
+                    THEN 1 ELSE 0 END AS boundary
+        FROM events
+    ),
+    with_sess AS (
+        SELECT user_id, ts,
+               sum(boundary) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM marked
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*)::BIGINT AS n_events
+    FROM with_sess GROUP BY user_id, session_id
+"""
+
+
 def q_opic_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPIC adaptive page importance (operators/graphalgo.py::opic,
     Abiteboul–Preda–Cobena WWW 2003) over the synthetic link graph —
@@ -2135,6 +2182,8 @@ def queries() -> dict[str, QueryFn]:
         "url_canonicalize": q_url_canonicalize,
         # r4: focused-crawl anchor-relevance scoring — oracled
         "focused_frontier": q_focused_frontier,
+        # r4: native session_window (built-in dynamic-gap sessions) — oracled
+        "sessionize_native": q_sessionize_native,
         # rows-only (non-SQL: BLAS summation order / ML fit / UDF-stateful /
         # crawl fixpoint) — pytest-verified
         # (equality-to-oracled-twin / recall / simulator-equivalence).
@@ -2228,6 +2277,7 @@ def oracle_sql() -> dict[str, str]:
         "focused_frontier": FOCUSED_ORACLE.format(
             links=LINKS_CTE, tok=tokens_sql("anchor")
         ),
+        "sessionize_native": SESSIONIZE_NATIVE_ORACLE,
         "sitemap_parse": (
             "WITH " + SITEMAP_PARSE_SQL_BODIES + ", entries AS ("
             + sm.sitemap_entries_sql("bodies")
