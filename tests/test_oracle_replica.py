@@ -64,6 +64,7 @@ def test_gate_window_contract():
         "url_canonicalize",       # r4: RFC 3986 canon vs native SQL twin
         "focused_frontier",       # r4: anchor-relevance focused scoring
         "sessionize_native",      # r4: built-in session_window sessions
+        "quantile_sketch",        # r4: mergeable binned-quantile family
     }
 
 

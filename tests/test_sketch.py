@@ -132,3 +132,46 @@ def test_cms_probe_join_is_broadcast(spark):
     # broadcast, and nothing in the sketch may serialize to one task
     assert "BroadcastHashJoin" in plan
     assert "SinglePartition" not in plan and "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Binned quantile sketch
+# ---------------------------------------------------------------------------
+
+
+def test_quantile_sketch_brackets_exact_percentiles(spark, sf_dir):
+    """The sketch's bin lower edge must sit within one bin width of the
+    exact interpolated percentile (the quantization-error bound)."""
+    from web_scraper_spark.queries import q_quality_percentiles, q_quantile_sketch
+
+    exact = {r["lang"]: r for r in q_quality_percentiles(spark, sf_dir).collect()}
+    approx = {}
+    for r in q_quantile_sketch(spark, sf_dir).collect():
+        approx.setdefault(r["lang"], {})[r["pct"]] = float(r["q_lo"])
+    width = 1.0 / sk.QSK_BINS
+    for lang, rows in approx.items():
+        for pct, col in ((25, "p25"), (50, "p50"), (90, "p90")):
+            # lower-edge rule: q_lo <= exact percentile < q_lo + width
+            # (interpolated exact can sit a hair past the edge; allow
+            # one extra width for the interpolation-vs-rank difference)
+            assert rows[pct] - width <= exact[lang][col] <= rows[pct] + 2 * width
+
+
+def test_quantile_histogram_shard_merge_is_lossless(spark):
+    a = _vocab_docs(spark, "en", 300)
+    b = _vocab_docs(spark, "en", 700)
+    whole = sk.quantile_histogram(a.unionByName(b))
+    merged = sk.quantile_merge(sk.quantile_histogram(a), sk.quantile_histogram(b))
+    assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, merged.collect()))
+
+
+def test_quantile_sketch_window_is_lang_partitioned(spark, sf_dir):
+    from web_scraper_spark.queries import q_quantile_sketch
+
+    plan = (
+        q_quantile_sketch(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in plan and "CartesianProduct" not in plan

@@ -305,3 +305,129 @@ def cms_topk_sql(k: int = 20, d: int = CMS_D, w: int = CMS_W) -> str:
         ORDER BY est DESC, token ASC
         LIMIT {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# Binned quantile sketch — the third mergeable-sketch family
+# ---------------------------------------------------------------------------
+#
+# HLL answers "how many distinct", CMS answers "how often", this answers
+# "where do the quantiles sit" — with the same distributed contract: the
+# state is a FIXED-SIZE integer histogram (counts per value bin) that
+# merges across shards by cell-wise sum, so a 100 TB quantile estimate is
+# one map-side-combined groupBy whose shuffle carries <= bins rows per
+# group, and per-day shards roll up losslessly. Spark's built-in
+# approx_percentile (Greenwald-Khanna) is JVM-private state; the
+# fixed-bin histogram trades a bounded, KNOWN quantization error
+# (1/bins on a [0,1] domain) for integer state both engines reproduce
+# bit-for-bit. Quantile rule: value v_p = lower edge of the first bin
+# whose cumulative count reaches ceil(p%·n/100) — pure integer
+# arithmetic (no p·n double product to round differently).
+
+QSK_BINS = 1000  # 0.001 quantization on the [0,1] score domain
+
+
+def quantile_histogram(docs: DataFrame, bins: int = QSK_BINS) -> DataFrame:
+    """Per-``lang`` histogram of the C4 quality score: (lang, bin, cnt),
+    bin = floor(score·bins) clamped to bins−1 (score = 1.0 lands in the
+    top bin). The score is the 6-dp-rounded double both engines compute
+    identically, so the IEEE product score·bins and its floor are
+    bit-identical cross-engine. Map-side combine collapses every
+    partition to <= bins rows per lang before the exchange."""
+    from web_scraper_spark.operators.text import quality_columns
+
+    score = quality_columns("text")["quality_score"]
+    b = F.least(
+        F.floor(score * F.lit(float(bins))).cast("bigint"), F.lit(bins - 1)
+    )
+    return (
+        docs.select("lang", b.alias("bin"))
+        .groupBy("lang", "bin")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+
+
+def quantile_merge(*hist_frames: DataFrame) -> DataFrame:
+    """Union shard histograms losslessly: cell-wise sum (pytest-asserted
+    identical to sketching the concatenated corpus)."""
+    merged = hist_frames[0]
+    for h in hist_frames[1:]:
+        merged = merged.unionByName(h)
+    return merged.groupBy("lang", "bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def binned_quantiles(
+    docs: DataFrame, pcts: tuple = (25, 50, 90), bins: int = QSK_BINS
+) -> DataFrame:
+    """Approximate per-lang quality-score quantiles off the histogram:
+    (lang, pct, qbin, q_lo) where qbin is the first bin whose cumulative
+    count reaches ceil(pct·n/100) (integer arithmetic end-to-end) and
+    q_lo = qbin/bins is its lower edge as an exact DECIMAL. The
+    cumulative window is partitioned by lang over <= bins rows — never a
+    data-sized window."""
+    from pyspark.sql import Window
+
+    hist = quantile_histogram(docs, bins)
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "lang",
+        "bin",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("lang")).alias("n"),
+    )
+    p = F.explode(F.array(*[F.lit(int(x)) for x in pcts])).alias("pct")
+    hit = cum.select("lang", "bin", "cum", "n", p).where(
+        F.col("cum") >= F.expr("CAST((n * pct + 99) DIV 100 AS BIGINT)")
+    )
+    return (
+        hit.groupBy("lang", "pct")
+        .agg(F.min("bin").alias("qbin"))
+        .select(
+            "lang",
+            F.col("pct").cast("bigint").alias("pct"),
+            "qbin",
+            (F.col("qbin").cast("decimal(18,6)") / bins)
+            .cast("decimal(18,6)")
+            .alias("q_lo"),
+        )
+    )
+
+
+def binned_quantiles_sql(pcts: tuple = (25, 50, 90), bins: int = QSK_BINS) -> str:
+    """DuckDB twin of :func:`binned_quantiles` over ``documents``."""
+    from web_scraper_spark.operators.text import quality_sql
+
+    score = quality_sql("text")["quality_score"]
+    plist = ", ".join(str(int(x)) for x in pcts)
+    return f"""
+        WITH binned AS (
+            SELECT lang,
+                   least(CAST(floor(({score}) * {float(bins)}) AS BIGINT),
+                         {bins - 1}) AS bin
+            FROM documents
+        ),
+        hist AS (
+            SELECT lang, bin, count(*)::BIGINT AS cnt
+            FROM binned GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT lang, bin,
+                   sum(cnt) OVER (PARTITION BY lang ORDER BY bin
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                   sum(cnt) OVER (PARTITION BY lang) AS n
+            FROM hist
+        ),
+        hit AS (
+            SELECT lang, pct, bin, cum, n
+            FROM cum CROSS JOIN (SELECT unnest([{plist}]) AS pct) ps
+            WHERE cum >= (n * pct + 99) // 100
+        )
+        SELECT lang, pct::BIGINT AS pct, min(bin) AS qbin,
+               CAST(CAST(min(bin) AS DECIMAL(18,6)) / {bins}
+                    AS DECIMAL(18,6)) AS q_lo
+        FROM hit GROUP BY 1, 2
+    """

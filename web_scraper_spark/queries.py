@@ -1073,6 +1073,17 @@ MIRROR_URLS_CTE = """
 """
 
 
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned quantile sketch (operators/sketch.py::binned_quantiles) —
+    the third mergeable-sketch family next to hll_cardinality and
+    cms_heavy_hitters: per-lang quality-score quantiles off a fixed-size
+    integer histogram (merge = cell-wise sum; quantile rule pure integer
+    arithmetic; bin edges exact DECIMAL). Value-exact across engines by
+    construction — the exact-percentile twin quality_percentiles bounds
+    its quantization error in tests/test_sketch.py."""
+    return sko.binned_quantiles(_docs(spark, sf_dir))
+
+
 def q_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark's NATIVE ``session_window`` (dynamic-gap session aggregation,
     the built-in alternative to the custom lag+cumsum batch sessionizer
@@ -2184,6 +2195,8 @@ def queries() -> dict[str, QueryFn]:
         "focused_frontier": q_focused_frontier,
         # r4: native session_window (built-in dynamic-gap sessions) — oracled
         "sessionize_native": q_sessionize_native,
+        # r4: binned quantile sketch (mergeable histogram) — oracled
+        "quantile_sketch": q_quantile_sketch,
         # rows-only (non-SQL: BLAS summation order / ML fit / UDF-stateful /
         # crawl fixpoint) — pytest-verified
         # (equality-to-oracled-twin / recall / simulator-equivalence).
@@ -2278,6 +2291,7 @@ def oracle_sql() -> dict[str, str]:
             links=LINKS_CTE, tok=tokens_sql("anchor")
         ),
         "sessionize_native": SESSIONIZE_NATIVE_ORACLE,
+        "quantile_sketch": sko.binned_quantiles_sql(),
         "sitemap_parse": (
             "WITH " + SITEMAP_PARSE_SQL_BODIES + ", entries AS ("
             + sm.sitemap_entries_sql("bodies")
