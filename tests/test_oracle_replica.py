@@ -65,6 +65,7 @@ def test_gate_window_contract():
         "focused_frontier",       # r4: anchor-relevance focused scoring
         "sessionize_native",      # r4: built-in session_window sessions
         "quantile_sketch",        # r4: mergeable binned-quantile family
+        "resolve_redirects",      # r4: iterative oracle (pointer doubling)
     }
 
 

@@ -30,6 +30,7 @@ from web_scraper_spark.frontier import sitemap as sm
 from web_scraper_spark.frontier import linkgraph as lg
 from web_scraper_spark.frontier import mirrors as mi
 from web_scraper_spark.frontier import recrawl as rc
+from web_scraper_spark.frontier import redirects as rd_mod
 from web_scraper_spark.frontier import traps as tr
 from web_scraper_spark.sources import warc as wa
 from web_scraper_spark.operators import phrase as ph
@@ -1070,6 +1071,51 @@ MIRROR_URLS_CTE = """
                      || CAST(o_orderkey % 12 AS VARCHAR)
            END AS url
     FROM orders
+"""
+
+
+def q_resolve_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution (frontier/redirects.py::resolve_redirects)
+    over a deterministic synthetic redirect graph: 3000 URL slots in
+    chains u4→u3→u2→u1→u0 (every id mod 5 ≠ 0 redirects one step down;
+    multiples of 5 are terminal) plus one literal 2-cycle that must come
+    back ``resolved = false``. The first ITERATIVE operator under the
+    value-exact oracle regime: pointer doubling on the Spark side vs a
+    bounded WITH RECURSIVE walk in DuckDB — terminal URLs and exact hop
+    counts must match bit-for-bit."""
+    from web_scraper_spark.frontier import redirects as rd
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    rid = F.col("o_orderkey") % 3000
+    edges = (
+        orders.where(rid % 5 != 0)
+        .select(
+            F.concat(F.lit("https://r.example/u"), rid.cast("string")).alias("src"),
+            F.concat(F.lit("https://r.example/u"), (rid - 1).cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+        .unionByName(
+            spark.createDataFrame(
+                [
+                    ("https://c.example/a", "https://c.example/b"),
+                    ("https://c.example/b", "https://c.example/a"),
+                ],
+                "src string, dst string",
+            )
+        )
+    )
+    return rd.resolve_redirects(edges)
+
+
+REDIRECTS_CTE = """
+    SELECT DISTINCT
+           'https://r.example/u' || CAST(o_orderkey % 3000 AS VARCHAR) AS src,
+           'https://r.example/u' || CAST(o_orderkey % 3000 - 1 AS VARCHAR) AS dst
+    FROM orders WHERE (o_orderkey % 3000) % 5 <> 0
+    UNION ALL SELECT 'https://c.example/a', 'https://c.example/b'
+    UNION ALL SELECT 'https://c.example/b', 'https://c.example/a'
 """
 
 
@@ -2197,6 +2243,9 @@ def queries() -> dict[str, QueryFn]:
         "sessionize_native": q_sessionize_native,
         # r4: binned quantile sketch (mergeable histogram) — oracled
         "quantile_sketch": q_quantile_sketch,
+        # r4: redirect-chain resolution — the first value-exact ITERATIVE
+        # oracle (pointer doubling vs bounded recursive CTE)
+        "resolve_redirects": q_resolve_redirects,
         # rows-only (non-SQL: BLAS summation order / ML fit / UDF-stateful /
         # crawl fixpoint) — pytest-verified
         # (equality-to-oracled-twin / recall / simulator-equivalence).
@@ -2292,6 +2341,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "sessionize_native": SESSIONIZE_NATIVE_ORACLE,
         "quantile_sketch": sko.binned_quantiles_sql(),
+        "resolve_redirects": rd_mod.resolve_redirects_sql(REDIRECTS_CTE),
         "sitemap_parse": (
             "WITH " + SITEMAP_PARSE_SQL_BODIES + ", entries AS ("
             + sm.sitemap_entries_sql("bodies")
