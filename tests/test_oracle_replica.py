@@ -66,6 +66,7 @@ def test_gate_window_contract():
         "sessionize_native",      # r4: built-in session_window sessions
         "quantile_sketch",        # r4: mergeable binned-quantile family
         "resolve_redirects",      # r4: iterative oracle (pointer doubling)
+        "host_health",            # r4: per-host circuit-breaker rollup
     }
 
 

@@ -30,6 +30,7 @@ from web_scraper_spark.frontier import sitemap as sm
 from web_scraper_spark.frontier import linkgraph as lg
 from web_scraper_spark.frontier import mirrors as mi
 from web_scraper_spark.frontier import recrawl as rc
+from web_scraper_spark.frontier import health as hl_mod
 from web_scraper_spark.frontier import redirects as rd_mod
 from web_scraper_spark.frontier import traps as tr
 from web_scraper_spark.sources import warc as wa
@@ -1071,6 +1072,58 @@ MIRROR_URLS_CTE = """
                      || CAST(o_orderkey % 12 AS VARCHAR)
            END AS url
     FROM orders
+"""
+
+
+def q_host_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host fetch-health circuit breaker (frontier/health.py::
+    host_health) over a deterministic synthetic fetch log: 50 hosts —
+    hosts ≡7 (mod 10) time out 60% (suspended), hosts ≡3 serve 5xx 25%
+    (degraded), the rest fail ~2% (healthy); a sparse 'tiny.example'
+    host is all-errors but below the evidence floor at small SF. 4xx
+    counts as served — only transport/server failures gate. Value-exact:
+    exact integer counts, one IEEE ratio rounded 6 dp."""
+    from web_scraper_spark.frontier import health as hl
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    h = F.col("o_custkey") % 50
+    k = F.col("o_orderkey")
+    status = (
+        F.when((h % 10 == 7) & (k % 5 < 3), "timeout")
+        .when((h % 10 == 3) & (k % 4 == 0), "http_5xx")
+        .when(k % 50 == 0, "conn_refused")
+        .when(k % 9 == 0, "http_404")
+        .otherwise("crawled")
+    )
+    url = F.concat(
+        F.lit("https://f"), h.cast("string"), F.lit(".example/p"), (k % 100).cast("string")
+    )
+    log = orders.select(url.alias("url"), status.alias("status")).unionByName(
+        orders.where(k % 400 == 0).select(
+            F.concat(F.lit("https://tiny.example/p"), (k % 7).cast("string")).alias(
+                "url"
+            ),
+            F.lit("timeout").alias("status"),
+        )
+    )
+    return hl.host_health(log)
+
+
+FETCH_HEALTH_CTE = """
+    SELECT 'https://f' || CAST(o_custkey % 50 AS VARCHAR) || '.example/p'
+               || CAST(o_orderkey % 100 AS VARCHAR) AS url,
+           CASE WHEN (o_custkey % 50) % 10 = 7 AND o_orderkey % 5 < 3
+                THEN 'timeout'
+                WHEN (o_custkey % 50) % 10 = 3 AND o_orderkey % 4 = 0
+                THEN 'http_5xx'
+                WHEN o_orderkey % 50 = 0 THEN 'conn_refused'
+                WHEN o_orderkey % 9 = 0 THEN 'http_404'
+                ELSE 'crawled' END AS status
+    FROM orders
+    UNION ALL
+    SELECT 'https://tiny.example/p' || CAST(o_orderkey % 7 AS VARCHAR),
+           'timeout'
+    FROM orders WHERE o_orderkey % 400 = 0
 """
 
 
@@ -2246,6 +2299,8 @@ def queries() -> dict[str, QueryFn]:
         # r4: redirect-chain resolution — the first value-exact ITERATIVE
         # oracle (pointer doubling vs bounded recursive CTE)
         "resolve_redirects": q_resolve_redirects,
+        # r4: per-host fetch-health circuit breaker — oracled
+        "host_health": q_host_health,
         # rows-only (non-SQL: BLAS summation order / ML fit / UDF-stateful /
         # crawl fixpoint) — pytest-verified
         # (equality-to-oracled-twin / recall / simulator-equivalence).
@@ -2342,6 +2397,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_native": SESSIONIZE_NATIVE_ORACLE,
         "quantile_sketch": sko.binned_quantiles_sql(),
         "resolve_redirects": rd_mod.resolve_redirects_sql(REDIRECTS_CTE),
+        "host_health": hl_mod.host_health_sql(FETCH_HEALTH_CTE),
         "sitemap_parse": (
             "WITH " + SITEMAP_PARSE_SQL_BODIES + ", entries AS ("
             + sm.sitemap_entries_sql("bodies")
