@@ -619,7 +619,17 @@ if __name__ == "__main__":
     elif "--crawl-scaling" in sys.argv:
         result = run_crawl_scaling()
     elif "--scaling" in sys.argv:
-        result = run_scaling()
+        # optional level override: `--scaling 8 32` measures local[8] ->
+        # local[32] instead of the default 2 -> 8 (the brief's example
+        # pair; both levels multi-core, so the 2-core turbo asymmetry
+        # documented in BASELINE.md does not apply — at the price of 4N
+        # being the whole machine, so OS jitter shares the 4N cores)
+        i = sys.argv.index("--scaling")
+        rest = [a for a in sys.argv[i + 1 : i + 3] if a.isdigit()]
+        if len(rest) == 2:
+            result = run_scaling(int(rest[0]), int(rest[1]))
+        else:
+            result = run_scaling()
     elif "--sf-stress" in sys.argv:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
         sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
