@@ -611,6 +611,58 @@ def run_crawl_scaling(n: int = 2, n4: int = 8) -> dict:
     return out
 
 
+def compact_result(result: dict, full_name: str, budget: int = 1500) -> dict:
+    """Compact bench summary for the FINAL stdout line.
+
+    The driver that records BENCH_r{N}.json keeps only the last ~2,000
+    chars of stdout and parses the final JSON line; the full per-query map
+    (106+ entries, ~4.4 KB) outgrew that window in round 4 and the round's
+    structured bench was lost (`parsed: null`). The final line is now a
+    bounded summary — headline metric, frontier/parse/crawl sections, cap
+    engagement, sf-stress growth, and the slowest queries — with the full
+    per-query map written to ``full_name`` and referenced by name.
+    """
+    q = dict(result.get("queries", {}))
+    slowest = dict(sorted(q.items(), key=lambda kv: -kv[1])[:8])
+    caps_inj = result.get("caps_injected", {})
+    out = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "sf": result.get("sf"),
+        "cpus": result.get("cpus"),
+        "queries": slowest,
+        "queries_digest": {
+            "n_timed": len(q),
+            "total_s": round(sum(q.values()), 1),
+            "full_map": full_name,
+        },
+        "frontier": result.get("frontier"),
+        "parse_stage": result.get("parse_stage"),
+        "crawl_end_to_end": result.get("crawl_end_to_end"),
+        "caps_injected": {
+            k: caps_inj.get(k)
+            for k in (
+                "lsh_buckets_over_cap",
+                "lsh_rows_in_capped_buckets",
+                "posting_rows_dropped",
+                "injected_clones",
+            )
+        },
+        "sf_stress": {
+            k: v["wall_growth"]
+            for k, v in result.get("sf_stress", {}).get("queries", {}).items()
+        },
+    }
+    # guarantee the budget: shed slowest-query entries first, then the
+    # stress map — the headline metric + sections always survive
+    while len(json.dumps(out)) > budget and out["queries"]:
+        out["queries"].popitem()
+    if len(json.dumps(out)) > budget:
+        out.pop("sf_stress", None)
+    return out
+
+
 if __name__ == "__main__":
     if "--level" in sys.argv:
         result = run_level(int(sys.argv[sys.argv.index("--level") + 1]))
@@ -639,4 +691,14 @@ if __name__ == "__main__":
         spark.stop()
     else:
         result = run_default()
+        full_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+        )
+        with open(full_path, "w") as f:
+            json.dump(result, f, indent=2, sort_keys=True)
+        result = compact_result(result, os.path.basename(full_path))
+        line = json.dumps(result)
+        assert len(line) <= 1900, f"final bench line too long: {len(line)}"
+        print(line)
+        sys.exit(0)
     print(json.dumps(result))

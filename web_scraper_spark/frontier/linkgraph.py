@@ -83,8 +83,13 @@ def anchor_summary(links: DataFrame, top_k: int = TOP_ANCHOR_TERMS) -> DataFrame
         F.count("*").cast("bigint").alias("n_inlinks"),
         F.countDistinct(_host(F.col("src"))).cast("bigint").alias("n_src_hosts"),
     )
-    return stats.join(top, "dst").select(
-        F.col("dst").alias("url"), "n_inlinks", "n_src_hosts", "top_anchors"
+    # Left join: a target whose inbound anchors all tokenize to zero terms
+    # (empty/punctuation-only anchor text) still has inlinks worth reporting.
+    return stats.join(top, "dst", "left").select(
+        F.col("dst").alias("url"),
+        "n_inlinks",
+        "n_src_hosts",
+        F.coalesce(F.col("top_anchors"), F.lit("")).alias("top_anchors"),
     )
 
 
@@ -112,8 +117,9 @@ def anchor_summary_sql(links_cte: str, top_k: int = TOP_ANCHOR_TERMS) -> str:
                         )::BIGINT AS n_src_hosts
             FROM links GROUP BY 1
         )
-        SELECT stats.dst AS url, n_inlinks, n_src_hosts, top_anchors
-        FROM stats JOIN top ON stats.dst = top.dst
+        SELECT stats.dst AS url, n_inlinks, n_src_hosts,
+               coalesce(top_anchors, '') AS top_anchors
+        FROM stats LEFT JOIN top ON stats.dst = top.dst
     """
 
 

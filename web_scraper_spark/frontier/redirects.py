@@ -49,6 +49,12 @@ def resolve_redirects(redirects: DataFrame, max_hops: int = MAX_HOPS) -> DataFra
     """
     import math
 
+    # Doubling walks exactly 2^rounds hops, so a non-power-of-two bound
+    # would silently resolve chains longer than max_hops (up to the next
+    # power of two) — contradicting the "longer than this is unresolved"
+    # contract. Require a power of two so walked == max_hops exactly.
+    if max_hops < 1 or (max_hops & (max_hops - 1)) != 0:
+        raise ValueError(f"max_hops must be a power of two, got {max_hops}")
     rounds = max(1, math.ceil(math.log2(max_hops)))
     # state: src -> (cur, hops); seed = the edges themselves (hops=1)
     state = redirects.select(
@@ -92,9 +98,12 @@ def resolve_redirects_sql(redirects_cte: str, max_hops: int = MAX_HOPS) -> str:
     """DuckDB twin: bounded recursive walk. The walk stops when the
     current URL no longer redirects OR the hop bound is hit; the doubling
     implementation's hop count is exact along terminating chains, and
-    both sides clamp to ``max_hops`` for unresolved ones."""
+    both sides clamp to ``max_hops`` for unresolved ones. ``max_hops``
+    must be a power of two (same contract as resolve_redirects)."""
     import math
 
+    if max_hops < 1 or (max_hops & (max_hops - 1)) != 0:
+        raise ValueError(f"max_hops must be a power of two, got {max_hops}")
     rounds = max(1, math.ceil(math.log2(max_hops)))
     doubling_bound = 2 ** rounds
     return f"""

@@ -1209,7 +1209,7 @@ def q_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SESSIONIZE_NATIVE_ORACLE = """
     WITH marked AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN epoch(ts) - epoch(lag(ts) OVER
                          (PARTITION BY user_id ORDER BY ts, event_id))
                          >= 1800
@@ -1218,7 +1218,7 @@ SESSIONIZE_NATIVE_ORACLE = """
     ),
     with_sess AS (
         SELECT user_id, ts,
-               sum(boundary) OVER (PARTITION BY user_id ORDER BY ts
+               sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                    ROWS UNBOUNDED PRECEDING) AS session_id
         FROM marked
     )
