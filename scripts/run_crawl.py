@@ -36,6 +36,17 @@ def main() -> int:
     ap.add_argument("--salt", type=int, default=16)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--synthetic", action="store_true", help="use the in-repo deterministic site")
+    ap.add_argument(
+        "--hygiene",
+        action="store_true",
+        help="enable the composed scheduler gates (health circuit breaker, "
+        "per-template trap budget; plus redirect resolution when --redirects "
+        "is given)",
+    )
+    ap.add_argument(
+        "--redirects",
+        help="parquet path of redirect edges (src, dst) consumed under --hygiene",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -57,6 +68,7 @@ def main() -> int:
         max_rounds=args.rounds,
         n_buckets=args.n_buckets,
         salt=args.salt,
+        hygiene=args.hygiene,
     )
     if args.synthetic:
         from web_scraper_spark.synth import build_pages_df, build_robots_df, seed_urls
@@ -75,7 +87,8 @@ def main() -> int:
             [l.strip() for l in open(args.seeds) if l.strip()] if args.seeds else None
         )
 
-    eng = CrawlEngine(spark, pages, robots, args.state_dir, cfg)
+    redirects = spark.read.parquet(args.redirects) if args.redirects else None
+    eng = CrawlEngine(spark, pages, robots, args.state_dir, cfg, redirects=redirects)
     results = eng.run(seeds=seeds, resume=args.resume)
     for r in results:
         print(json.dumps({"round": r.round, **r.metrics}))

@@ -67,6 +67,7 @@ def test_gate_window_contract():
         "quantile_sketch",        # r4: mergeable binned-quantile family
         "resolve_redirects",      # r4: iterative oracle (pointer doubling)
         "host_health",            # r4: per-host circuit-breaker rollup
+        "frontier_schedule",      # r5: composed round scheduler (gates+rank)
     }
 
 

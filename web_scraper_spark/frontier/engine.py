@@ -72,6 +72,22 @@ class CrawlConfig:
     # VnNet variant, CrawlPaperVnNet.py:129-141: crawl yesterday's
     # articles, skip today's, old slugs terminate the scroll)
     alpha_date_mode: str = "as_of"
+    # r5 — hygiene scheduling (frontier/schedule.py composed into the
+    # round loop): health circuit breaker + trap budget on candidate
+    # selection, redirect resolution on new outlinks before seen-insert.
+    # OFF by default: the reference's single-site loop needs none of
+    # these, and the crawl-equality contract covers both modes.
+    hygiene: bool = False
+    # per-(host, URL-template) distinct-URL budget (traps.py semantics);
+    # the default is far above any real site section — tests lower it
+    trap_template_cap: int = 10_000
+    # per-host circuit breaker: ≥ suspend_rate errors over ≥ min_evidence
+    # logged fetches gates the host out of candidate selection. The
+    # engine's replay fetch stage only produces 'fetch_failed'; a live
+    # fetch_fn may log transport statuses — list them all here.
+    health_min_evidence: int = 20
+    health_suspend_rate: float = 0.5
+    health_error_statuses: tuple = ("fetch_failed", "timeout", "http_5xx", "conn_refused")
 
     def alpha_target_date(self):
         d = datetime.fromisoformat(self.as_of).date()
@@ -144,12 +160,20 @@ class CrawlEngine:
         state_dir: str,
         cfg: CrawlConfig | None = None,
         fetch_fn=None,
+        redirects: DataFrame | None = None,
     ):
         """fetch_fn: optional live-fetch stage — a callable
         df(url, fetch_slot_s) → df(url, html, ...) (see fetch/http.py).
         Default resolves against the stored ``pages`` table (WARC-replay
         semantics). Both run at the identical plan point, after the dedup
-        gate and politeness selection."""
+        gate and politeness selection.
+
+        redirects: optional (src, dst) redirect-edge table, consumed only
+        under ``cfg.hygiene``: new outlinks are resolved to their terminal
+        targets BEFORE canonicalization/seen-insert (pointer-doubled once
+        at first use — the map is static metadata); URLs whose chain
+        cycles are dropped as unfetchable. Sources/targets must be in the
+        same raw form pages emit hrefs in."""
         self.spark = spark
         self.cfg = cfg or CrawlConfig()
         self.bloom_spec = (
@@ -165,6 +189,23 @@ class CrawlEngine:
         if pages is None and fetch_fn is None:
             raise ValueError("need a pages table or a fetch_fn")
         self.robots = robots
+        self._redirects = redirects if self.cfg.hygiene else None
+        self._redirect_map: DataFrame | None = None  # resolved lazily, once
+
+    def _resolved_redirects(self) -> DataFrame | None:
+        """Terminal-target map for new outlinks (hygiene mode): pointer-
+        doubled ONCE (the edge table is static metadata) and pinned with
+        an eager localCheckpoint so every round joins the same
+        materialized frame instead of re-running the doubling loop."""
+        if self._redirects is None:
+            return None
+        if self._redirect_map is None:
+            from web_scraper_spark.frontier.redirects import resolve_redirects
+
+            self._redirect_map = resolve_redirects(self._redirects).localCheckpoint(
+                eager=True
+            )
+        return self._redirect_map
 
     # ------------------------------------------------------------------
 
@@ -250,7 +291,10 @@ class CrawlEngine:
             bloom_handle = None
             candidates = frontier.join(seen, on=["bucket", "url_hash"], how="left_anti")
 
-        candidates = robots_filter(candidates, self.robots).cache()
+        candidates = robots_filter(candidates, self.robots)
+        if cfg.hygiene:
+            candidates = self._hygiene_gate(k, candidates)
+        candidates = candidates.cache()
         # cross-round politeness continuity: the per-host schedule phase
         # committed with round k-1 seeds this round's budgets/slots, so
         # back-to-back short rounds can't exceed a host's rate at the
@@ -390,6 +434,48 @@ class CrawlEngine:
 
     # ------------------------------------------------------------------
 
+    def _hygiene_gate(self, k: int, candidates: DataFrame) -> DataFrame:
+        """Health circuit breaker + per-template trap budget on the
+        round's candidate set (frontier/schedule.py semantics composed
+        into the loop; simulator-mirrored). Both signal frames are
+        metadata-sized — one row per suspended host / over-budget
+        template cell — and broadcast against the frontier, so the round
+        plan gains no non-metadata shuffle (plan-asserted in
+        tests/test_plans.py). Gated URLs leave the frontier permanently,
+        exactly like robots-blocked ones (carryover is computed from
+        candidates): the circuit breaker trips for the crawl."""
+        from web_scraper_spark.frontier.traps import url_template
+
+        cfg = self.cfg
+        log = self.state.read_fetch_log(k - 1)
+        err = F.when(
+            F.col("status").isin(*cfg.health_error_statuses), 1
+        ).otherwise(0)
+        stats = (
+            log.select("host", err.alias("_err"))
+            .groupBy("host")
+            .agg(F.count("*").alias("_n"), F.sum("_err").alias("_e"))
+        )
+        suspended = stats.where(
+            (F.col("_n") >= cfg.health_min_evidence)
+            & (F.col("_e") / F.col("_n") >= cfg.health_suspend_rate)
+        ).select("host")
+        gated = candidates.join(F.broadcast(suspended), "host", "left_anti")
+        # trap budget over the post-health candidate set (candidates are
+        # unique per url_canon, so count(*) == distinct-URL count)
+        cells = (
+            gated.select("host", url_template(F.col("url_canon")).alias("_tmpl"))
+            .groupBy("host", "_tmpl")
+            .agg(F.count("*").alias("_n"))
+            .where(F.col("_n") > cfg.trap_template_cap)
+            .select("host", "_tmpl")
+        )
+        return (
+            gated.withColumn("_tmpl", url_template(F.col("url_canon")))
+            .join(F.broadcast(cells), ["host", "_tmpl"], "left_anti")
+            .select(*candidates.columns)  # keep the frontier column order
+        )
+
     def _next_frontier(
         self,
         k: int,
@@ -484,6 +570,18 @@ class CrawlEngine:
         )
 
         new_links = cat_links.unionByName(art_links).unionByName(page_links)
+        # hygiene: resolve new outlinks through the redirect map BEFORE
+        # canonicalization/seen-insert; cycle/over-bound chains are
+        # unfetchable and dropped (frontier/redirects.py semantics)
+        rmap = self._resolved_redirects()
+        if rmap is not None:
+            r = rmap.select(F.col("url").alias("_r_src"), "final_url", "resolved")
+            new_links = (
+                new_links.join(r, new_links.url == F.col("_r_src"), "left")
+                .where(F.col("resolved").isNull() | F.col("resolved"))
+                .withColumn("url", F.coalesce(F.col("final_url"), F.col("url")))
+                .drop("_r_src", "final_url", "resolved")
+            )
         new_keyed = _with_keys(new_links, cfg.n_buckets).withColumn(
             "source_pos", src_pos_map[F.col("source")]
         )

@@ -64,8 +64,26 @@ class SimResult:
     rounds: int = 0
 
 
+def _resolve_redirect_py(
+    redirects: dict[str, str], url: str, max_hops: int = 16
+) -> str | None:
+    """Pointer-chase twin of frontier/redirects.py::resolve_redirects:
+    walk up to ``max_hops`` jumps; if the reached URL still redirects
+    (cycle / over-bound chain) the URL is unfetchable → None."""
+    cur = url
+    for _ in range(max_hops):
+        nxt = redirects.get(cur)
+        if nxt is None:
+            return cur
+        cur = nxt
+    return None if cur in redirects else cur
+
+
 def simulate_crawl(
-    site_cfg: SiteConfig, crawl_cfg: CrawlConfig, seeds: list[str]
+    site_cfg: SiteConfig,
+    crawl_cfg: CrawlConfig,
+    seeds: list[str],
+    redirects: dict[str, str] | None = None,
 ) -> SimResult:
     specs = {canon_url_py(s["url"]): s for s in build_site(site_cfg)}
     robots = {}
@@ -93,7 +111,23 @@ def simulate_crawl(
     fetch_pos = 0
     host_nf: dict[str, float] = {}  # per-host schedule debt (ST5 continuity)
     for k in range(1, crawl_cfg.max_rounds + 1):
-        # dedup gate (F1) + robots
+        # hygiene: per-host circuit breaker from rounds < k fetch outcomes
+        # (mirrors CrawlEngine._hygiene_gate's read_fetch_log(k-1) rollup)
+        suspended: set[str] = set()
+        if crawl_cfg.hygiene:
+            hstats: dict[str, list[int]] = {}
+            for row in res.fetch_log:
+                h = host_py(row["url_canon"])
+                s = hstats.setdefault(h, [0, 0])
+                s[0] += 1
+                s[1] += row["status"] in crawl_cfg.health_error_statuses
+            suspended = {
+                h
+                for h, (n, nerr) in hstats.items()
+                if n >= crawl_cfg.health_min_evidence
+                and nerr / n >= crawl_cfg.health_suspend_rate
+            }
+        # dedup gate (F1) + robots [+ health circuit breaker]
         candidates = {}
         for canon, e in frontier.items():
             if canon in res.seen:
@@ -103,7 +137,28 @@ def simulate_crawl(
             path = "/" + canon.split("/", 3)[3] if len(canon.split("/", 3)) > 3 else "/"
             if any(path.startswith(d) for d in disallow):
                 continue
+            if host in suspended:
+                continue
             candidates[canon] = e
+        # hygiene: per-(host, URL-template) trap budget over the
+        # post-robots post-health candidate set (engine order)
+        if crawl_cfg.hygiene:
+            import re
+
+            cells: dict[tuple[str, str], int] = {}
+            tmpl: dict[str, tuple[str, str]] = {}
+            for canon in candidates:
+                t = (
+                    host_py(canon),
+                    re.sub("[0-9]+", "N", re.sub(r"^[a-z]+://[^/]+", "", canon)),
+                )
+                tmpl[canon] = t
+                cells[t] = cells.get(t, 0) + 1
+            candidates = {
+                c: e
+                for c, e in candidates.items()
+                if cells[tmpl[c]] <= crawl_cfg.trap_template_cap
+            }
 
         # per-host politeness budget, canonical priority order (ST5).
         # Cross-round continuity mirrors politeness.select_round: host_nf
@@ -138,6 +193,15 @@ def simulate_crawl(
             if nf > 0:
                 nxt_nf[host] = nf
         host_nf = nxt_nf
+
+        def add(entries, href, source, **kw):
+            # hygiene: resolve through the redirect map before insert;
+            # cycle/over-bound chains are unfetchable and dropped
+            if crawl_cfg.hygiene and redirects:
+                href = _resolve_redirect_py(redirects, href)
+                if href is None:
+                    return
+            _add(entries, href, source, src_pos, **kw)
 
         if not selected and not candidates:
             # frontier truly exhausted — a budget-starved round (candidates
@@ -190,9 +254,9 @@ def simulate_crawl(
                     for pos, (href, name) in enumerate(links.categories):
                         if e.source == "gamma" and name in crawl_cfg.excluded_categories:
                             continue  # F6
-                        _add(new_entries, href, e.source, src_pos, depth=1,
-                             category_name=name, category_pos=pos, page_no=1,
-                             round_added=k)
+                        add(new_entries, href, e.source, depth=1,
+                            category_name=name, category_pos=pos, page_no=1,
+                            round_added=k)
                 else:
                     for pos, href in enumerate(links.articles):
                         ld = links.listing_dates[pos] if pos < len(links.listing_dates) else ""
@@ -208,16 +272,16 @@ def simulate_crawl(
                                     continue
                             except ValueError:
                                 continue
-                        _add(new_entries, href, e.source, src_pos, depth=2,
-                             category_name=e.category_name, category_pos=e.category_pos,
-                             page_no=e.page_no, listing_pos=pos, listing_date=ld,
-                             round_added=k)
+                        add(new_entries, href, e.source, depth=2,
+                            category_name=e.category_name, category_pos=e.category_pos,
+                            page_no=e.page_no, listing_pos=pos, listing_date=ld,
+                            round_added=k)
                     if e.source == "beta" and e.page_no == 1 and links.last_page > 1:
                         for p in range(2, links.last_page + 1):
-                            _add(new_entries, f"{e.url}-p{p}", e.source, src_pos,
-                                 depth=1, category_name=e.category_name,
-                                 category_pos=e.category_pos, page_no=p,
-                                 round_added=k)
+                            add(new_entries, f"{e.url}-p{p}", e.source,
+                                depth=1, category_name=e.category_name,
+                                category_pos=e.category_pos, page_no=p,
+                                round_added=k)
 
         # next frontier: carryover (candidates minus selected) ∪ new entries,
         # earliest-added entry wins on conflict (engine _next_frontier w2)

@@ -32,6 +32,7 @@ from web_scraper_spark.frontier import mirrors as mi
 from web_scraper_spark.frontier import recrawl as rc
 from web_scraper_spark.frontier import health as hl_mod
 from web_scraper_spark.frontier import redirects as rd_mod
+from web_scraper_spark.frontier import schedule as sch_mod
 from web_scraper_spark.frontier import traps as tr
 from web_scraper_spark.sources import warc as wa
 from web_scraper_spark.operators import phrase as ph
@@ -1172,6 +1173,152 @@ REDIRECTS_CTE = """
 """
 
 
+def q_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed frontier-round scheduler (frontier/schedule.py::
+    frontier_schedule): redirect resolution, per-host health gating,
+    per-template trap budgets, recrawl cadence, and inlink priority in
+    ONE selection plan — the r4 verdict's #2 task. All five signal
+    families are synthesized deterministically in the SAME URL space
+    (hosts h0-h29, pages p0-p499, the _synthetic_links graph's dst
+    space) so the gates actually engage: pages p≡7,8,9 (mod 10)
+    redirect down-chain (aliases collapse onto p≡6), one literal 2-cycle
+    URL must be dropped as unresolvable, hosts ≡7 (mod 10) trip the
+    suspension circuit breaker and ≡3 the degraded tier, host h5 serves
+    a calendar trap (/cal/D/H — one URL template exceeding the 600-URL
+    budget; the /pN template stays under it), and per-URL fetch
+    histories defer cold pages / boost hot ones. Value-exact: every
+    stage reuses its component operator's oracle body; priorities are
+    exact integer arithmetic; the twin SQL synthesizes identical rows."""
+    from web_scraper_spark.frontier import schedule as sch
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    h = (F.col("o_custkey") % 30).cast("string")
+    p = F.col("o_orderkey") % 500
+
+    def url(host_s, page_c):
+        return F.concat(
+            F.lit("https://h"), host_s, F.lit(".example/p"), page_c.cast("string")
+        )
+
+    frontier = (
+        orders.select(
+            url(h, p).alias("url"),
+            ((F.col("o_custkey") % 30 + p) % 6).cast("bigint").alias("depth"),
+        )
+        .distinct()
+        .unionByName(
+            orders.select(
+                F.concat(
+                    F.lit("https://h5.example/cal/"),
+                    (F.col("o_orderkey") % 365).cast("string"),
+                    F.lit("/"),
+                    (F.col("o_orderkey") % 24).cast("string"),
+                ).alias("url"),
+                F.lit(1).cast("bigint").alias("depth"),
+            ).distinct()
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [("https://h1.example/pc1", 0)], "url string, depth bigint"
+            )
+        )
+    )
+    redirects = (
+        orders.where((p % 10).isin(7, 8, 9))
+        .select(url(h, p).alias("src"), url(h, p - 1).alias("dst"))
+        .distinct()
+        .unionByName(
+            spark.createDataFrame(
+                [
+                    ("https://h1.example/pc1", "https://h1.example/pc2"),
+                    ("https://h1.example/pc2", "https://h1.example/pc1"),
+                ],
+                "src string, dst string",
+            )
+        )
+    )
+    hmod = (F.col("o_custkey") % 30) % 10
+    k = F.col("o_orderkey")
+    fetch_log = orders.select(
+        url(h, k % 100).alias("url"),
+        F.when((hmod == 7) & (k % 5 < 3), "timeout")
+        .when((hmod == 3) & (k % 4 == 0), "http_5xx")
+        .when(k % 50 == 0, "conn_refused")
+        .when(k % 9 == 0, "http_404")
+        .otherwise("crawled")
+        .alias("status"),
+    )
+    kk = 1000 * (1 + F.col("o_custkey") % 50)
+    hist_url = url(h, F.col("o_custkey") % 500)
+    fetch_history = orders.select(
+        hist_url.alias("url"),
+        k.alias("fetch_seq"),
+        F.md5(
+            F.concat(
+                hist_url,
+                F.lit(":"),
+                F.floor(k / kk).cast("bigint").cast("string"),
+            )
+        ).alias("content_hash"),
+    )
+    links = _synthetic_links(spark, sf_dir)
+    return sch.frontier_schedule(
+        frontier, links, redirects, fetch_log, fetch_history, template_cap=600
+    )
+
+
+SCHEDULE_FRONTIER_CTE = """
+    SELECT DISTINCT
+           'https://h' || CAST(o_custkey % 30 AS VARCHAR) || '.example/p'
+               || CAST(o_orderkey % 500 AS VARCHAR) AS url,
+           ((o_custkey % 30 + o_orderkey % 500) % 6)::BIGINT AS depth
+    FROM orders
+    UNION ALL
+    SELECT DISTINCT
+           'https://h5.example/cal/' || CAST(o_orderkey % 365 AS VARCHAR)
+               || '/' || CAST(o_orderkey % 24 AS VARCHAR) AS url,
+           1::BIGINT AS depth
+    FROM orders
+    UNION ALL SELECT 'https://h1.example/pc1', 0::BIGINT
+"""
+
+SCHEDULE_REDIRECTS_CTE = """
+    SELECT DISTINCT
+           'https://h' || CAST(o_custkey % 30 AS VARCHAR) || '.example/p'
+               || CAST(o_orderkey % 500 AS VARCHAR) AS src,
+           'https://h' || CAST(o_custkey % 30 AS VARCHAR) || '.example/p'
+               || CAST(o_orderkey % 500 - 1 AS VARCHAR) AS dst
+    FROM orders WHERE (o_orderkey % 500) % 10 IN (7, 8, 9)
+    UNION ALL SELECT 'https://h1.example/pc1', 'https://h1.example/pc2'
+    UNION ALL SELECT 'https://h1.example/pc2', 'https://h1.example/pc1'
+"""
+
+SCHEDULE_FETCH_LOG_CTE = """
+    SELECT 'https://h' || CAST(o_custkey % 30 AS VARCHAR) || '.example/p'
+               || CAST(o_orderkey % 100 AS VARCHAR) AS url,
+           CASE WHEN (o_custkey % 30) % 10 = 7 AND o_orderkey % 5 < 3
+                THEN 'timeout'
+                WHEN (o_custkey % 30) % 10 = 3 AND o_orderkey % 4 = 0
+                THEN 'http_5xx'
+                WHEN o_orderkey % 50 = 0 THEN 'conn_refused'
+                WHEN o_orderkey % 9 = 0 THEN 'http_404'
+                ELSE 'crawled' END AS status
+    FROM orders
+"""
+
+SCHEDULE_HISTORY_CTE = """
+    SELECT 'https://h' || CAST(o_custkey % 30 AS VARCHAR) || '.example/p'
+               || CAST(o_custkey % 500 AS VARCHAR) AS url,
+           o_orderkey AS fetch_seq,
+           md5('https://h' || CAST(o_custkey % 30 AS VARCHAR) || '.example/p'
+               || CAST(o_custkey % 500 AS VARCHAR) || ':'
+               || CAST(CAST(FLOOR(o_orderkey
+                       / (1000 * (1 + o_custkey % 50))) AS BIGINT) AS VARCHAR))
+               AS content_hash
+    FROM orders
+"""
+
+
 def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binned quantile sketch (operators/sketch.py::binned_quantiles) —
     the third mergeable-sketch family next to hll_cardinality and
@@ -2301,6 +2448,9 @@ def queries() -> dict[str, QueryFn]:
         "resolve_redirects": q_resolve_redirects,
         # r4: per-host fetch-health circuit breaker — oracled
         "host_health": q_host_health,
+        # r5: the COMPOSED round scheduler (redirects + health + traps +
+        # recrawl cadence + inlink priority in one selection plan) — oracled
+        "frontier_schedule": q_frontier_schedule,
         # rows-only (non-SQL: BLAS summation order / ML fit / UDF-stateful /
         # crawl fixpoint) — pytest-verified
         # (equality-to-oracled-twin / recall / simulator-equivalence).
@@ -2398,6 +2548,14 @@ def oracle_sql() -> dict[str, str]:
         "quantile_sketch": sko.binned_quantiles_sql(),
         "resolve_redirects": rd_mod.resolve_redirects_sql(REDIRECTS_CTE),
         "host_health": hl_mod.host_health_sql(FETCH_HEALTH_CTE),
+        "frontier_schedule": sch_mod.frontier_schedule_sql(
+            SCHEDULE_FRONTIER_CTE,
+            LINKS_CTE,
+            SCHEDULE_REDIRECTS_CTE,
+            SCHEDULE_FETCH_LOG_CTE,
+            SCHEDULE_HISTORY_CTE,
+            template_cap=600,
+        ),
         "sitemap_parse": (
             "WITH " + SITEMAP_PARSE_SQL_BODIES + ", entries AS ("
             + sm.sitemap_entries_sql("bodies")

@@ -80,6 +80,12 @@ class SiteConfig:
     robots_disallow: dict = field(
         default_factory=lambda: {"alpha": (), "beta": (), "gamma": ("/video",)}
     )
+    # r5 hygiene-mode fixtures: per-source article-page dropout. For a
+    # source with mod m, every article whose per-category index i has
+    # i % m == 0 is LISTED (its link renders on listings) but its page
+    # spec is omitted — the crawl sees it as a failed fetch. m = 1 makes
+    # a whole host serve only hubs (the health-circuit-breaker shape).
+    missing_article_mod: dict = field(default_factory=dict)
 
 
 def _categories(cfg: SiteConfig, source: str) -> list[tuple[str, str]]:
@@ -234,7 +240,12 @@ def build_site(cfg: SiteConfig | None = None) -> list[dict]:
                         "last_page": 1,
                     }
                 )
-            specs.extend(arts)
+            mod = cfg.missing_article_mod.get(source)
+            specs.extend(
+                r
+                for r in arts
+                if not (mod and r["listing_pos"] % mod == 0)
+            )
     return specs
 
 
