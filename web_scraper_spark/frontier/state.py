@@ -608,3 +608,147 @@ class CrawlState:
             "files_freed": files_freed,
             "bytes_freed": bytes_freed,
         }
+
+    # -- keyed tables: MERGE INTO emulation (SURVEY §1.4 S7/S13) -------------
+    #
+    # The design maps the reference's DELETE-WHERE-key + INSERT refresh
+    # (S7, /root/reference/ConnectAndSave.py:236-257) and its content-hash
+    # cache upsert (S13, ConnectAndSave.py:122-123,294-300) to Iceberg
+    # `MERGE INTO`. No Iceberg runtime ships in this sandbox, so the store
+    # emulates the copy-on-write MERGE commit the same way compact_seen
+    # emulates replacePartitions: versioned bucket-partitioned parquet
+    # where only KEY-TOUCHED buckets are rewritten and every untouched
+    # bucket's files are HARD-LINKED from the previous version — a
+    # metadata-only carry. Merge cost is proportional to churned
+    # partitions, not table size.
+    #
+    # Semantics are keyed GROUP-REPLACE (exactly refresh_delete_insert's,
+    # which the merged-frame computation routes through): every base row
+    # whose key appears in `updates` is replaced by the update rows of
+    # that key, unmatched update keys insert, and `delete_keys` rows
+    # vanish (MERGE ... WHEN MATCHED THEN DELETE). This covers both the
+    # unique-key upsert (S13) and the multi-row-per-key refresh (S7).
+
+    def _table_dir(self, name: str) -> str:
+        return os.path.join(self.dir, f"table={name}")
+
+    def table_versions(self, name: str) -> list[int]:
+        td = self._table_dir(name)
+        if not os.path.isdir(td):
+            return []
+        return sorted(
+            int(n.split("=")[1])
+            for n in os.listdir(td)
+            if n.startswith("v=")
+            and os.path.exists(os.path.join(td, n, "_COMMITTED"))
+        )
+
+    def _table_meta(self, name: str) -> dict:
+        with open(os.path.join(self._table_dir(name), "meta.json")) as f:
+            return json.load(f)
+
+    def _bucket_col(self, key: str):
+        return F.pmod(
+            F.xxhash64(F.col(key).cast("string")), F.lit(self.n_buckets)
+        ).cast("int")
+
+    def write_table(self, name: str, df: DataFrame, key: str) -> int:
+        """Version-0 full write of a keyed table, bucket-partitioned by
+        xxhash64(key) — the layout merge_into's pruning relies on."""
+        td = self._table_dir(name)
+        vd = os.path.join(td, "v=0000")
+        data = os.path.join(vd, "data")
+        df.withColumn("_mbucket", self._bucket_col(key)).repartition(
+            F.col("_mbucket")
+        ).write.mode("overwrite").partitionBy("_mbucket").parquet(data)
+        with open(os.path.join(td, "meta.json"), "w") as f:
+            json.dump({"key": key, "columns": df.columns}, f)
+        with open(os.path.join(vd, "_COMMITTED"), "w") as f:
+            f.write("0")
+        return 0
+
+    def read_table(self, name: str, version: int | None = None) -> DataFrame:
+        versions = self.table_versions(name)
+        if not versions:
+            raise FileNotFoundError(f"no committed versions of table {name}")
+        v = versions[-1] if version is None else version
+        if v not in versions:
+            raise FileNotFoundError(f"table {name} has no version {v}")
+        cols = self._table_meta(name)["columns"]
+        data = os.path.join(self._table_dir(name), f"v={v:04d}", "data")
+        return self.spark.read.parquet(data).select(*cols)
+
+    def merge_into(
+        self,
+        name: str,
+        updates: DataFrame,
+        delete_keys: DataFrame | None = None,
+    ) -> dict:
+        """Keyed MERGE commit: copy-on-write partition rewrite.
+
+        Only buckets containing an updated or deleted key are re-read
+        (hive partition-pruned) and rewritten; every other bucket is
+        hard-linked from the previous version. The merged content of a
+        touched bucket is computed by sources/csvio.py::
+        refresh_delete_insert — the S7 transform IS the merge body.
+        Returns {"version", "touched_buckets", "linked_buckets"}.
+        """
+        from web_scraper_spark.sources.csvio import refresh_delete_insert
+
+        versions = self.table_versions(name)
+        if not versions:
+            raise FileNotFoundError(f"merge_into target {name} does not exist")
+        key = self._table_meta(name)["key"]
+        cols = self._table_meta(name)["columns"]
+        prev = versions[-1]
+        prev_data = os.path.join(self._table_dir(name), f"v={prev:04d}", "data")
+        v = prev + 1
+        vd = os.path.join(self._table_dir(name), f"v={v:04d}")
+        data = os.path.join(vd, "data")
+
+        up = updates.select(*cols).withColumn("_mbucket", self._bucket_col(key))
+        del_keys = (
+            delete_keys.select(F.col(key)).distinct()
+            if delete_keys is not None
+            else None
+        )
+        # touched buckets: metadata-sized collect (≤ n_buckets ints)
+        touched = {
+            r["_mbucket"]
+            for r in up.select("_mbucket").distinct().collect()
+        }
+        if del_keys is not None:
+            touched |= {
+                r["_mbucket"]
+                for r in del_keys.withColumn("_mbucket", self._bucket_col(key))
+                .select("_mbucket")
+                .distinct()
+                .collect()
+            }
+        if touched:
+            base = (
+                self.spark.read.parquet(prev_data)
+                .where(F.col("_mbucket").isin(*[int(b) for b in touched]))
+                .select(*cols)
+            )
+            if del_keys is not None:
+                base = base.join(del_keys, on=key, how="left_anti")
+            merged = refresh_delete_insert(base, up.select(*cols), [key])
+            merged.withColumn("_mbucket", self._bucket_col(key)).repartition(
+                F.col("_mbucket")
+            ).write.mode("overwrite").partitionBy("_mbucket").parquet(data)
+        os.makedirs(data, exist_ok=True)
+        linked = []
+        for n in os.listdir(prev_data):
+            if n.startswith("_mbucket=") and int(n.split("=")[1]) not in touched:
+                self._link_bucket_dir(
+                    os.path.join(prev_data, n), os.path.join(data, n)
+                )
+                linked.append(int(n.split("=")[1]))
+        with open(os.path.join(vd, "_COMMITTED"), "w") as f:
+            f.write(str(v))
+        return {
+            "version": v,
+            "touched_buckets": sorted(int(b) for b in touched),
+            "linked_buckets": sorted(linked),
+        }

@@ -71,6 +71,25 @@ def incremental_refresh(
     return kept.unionByName(recomputed), current
 
 
+def upsert_cache_table(state, name: str, current: DataFrame, cached: DataFrame) -> dict:
+    """S13 on the state store: the content-hash cache as a keyed MERGE.
+
+    Classifies ``current`` vs ``cached`` (the committed table), then
+    routes through ``CrawlState.merge_into``: only stale/new group hashes
+    upsert and retired groups delete — the table converges to ``current``
+    with merge cost proportional to CHURNED buckets, not cache size (the
+    reference rewrites its whole cache row set per run,
+    ConnectAndSave.py:294-300)."""
+    states = classify_groups(current, cached)
+    stale = current.join(
+        states.where(F.col("state") == "stale").select("group_key"),
+        on="group_key",
+        how="left_semi",
+    )
+    retired = states.where(F.col("state") == "retired").select("group_key")
+    return state.merge_into(name, stale, delete_keys=retired)
+
+
 def snapshot_diff(old: DataFrame, new: DataFrame, content_col: str = "text") -> DataFrame:
     """Document-level diff between two corpus snapshots: (doc_id, change)
     for every doc that was ``added``, ``removed``, or ``modified`` —
