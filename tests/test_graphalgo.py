@@ -205,3 +205,78 @@ def test_opic_anytime_property(spark):
         got = {r["node"]: r["importance"]
                for r in opic(_edges_df(spark, star), n_iter=k).collect()}
         assert max(got, key=got.get) == 1
+
+
+# ---------------------------------------------------------------------------
+# Early-exit convergence (tol mode) — r5: the fixed-iteration mode stays
+# the oracle/twin contract; tol mode is the production capability.
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_early_exit_converges(spark):
+    iters: list = []
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            _edges_df(spark, EDGES), n_iter=60, tol=1e-10, iters_out=iters
+        ).collect()
+    }
+    assert iters[0] < 60  # actually exited early
+    fixed = {
+        r["node"]: r["rank"]
+        for r in pagerank(_edges_df(spark, EDGES), n_iter=60).collect()
+    }
+    assert set(got) == set(fixed)
+    for u in fixed:  # both converged: values agree at the tolerance scale
+        assert got[u] == pytest.approx(fixed[u], abs=1e-8)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_pagerank_tol_none_runs_fixed(spark):
+    iters: list = []
+    pagerank(_edges_df(spark, EDGES), n_iter=4, iters_out=iters).collect()
+    assert iters == [4]
+
+
+def test_opic_early_exit_anytime_estimate(spark):
+    from web_scraper_spark.operators.graphalgo import opic
+
+    iters: list = []
+    got = {
+        r["node"]: r["importance"]
+        for r in opic(
+            _edges_df(spark, EDGES), n_iter=60, tol=1e-10, iters_out=iters
+        ).collect()
+    }
+    k = iters[0]
+    assert k < 60
+    # the early estimate IS the k-round estimate (the paper's anytime
+    # property): value-identical to fixed-k mode, and still a distribution
+    fixed_k = {
+        r["node"]: r["importance"]
+        for r in opic(_edges_df(spark, EDGES), n_iter=k).collect()
+    }
+    assert got == fixed_k
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+    assert max(got, key=got.get) == 1
+
+
+def test_hits_early_exit_converges(spark):
+    from web_scraper_spark.operators.graphalgo import hits
+
+    iters: list = []
+    got = {
+        r["node"]: (r["hub"], r["authority"])
+        for r in hits(
+            _edges_df(spark, EDGES), n_iter=60, tol=1e-10, iters_out=iters
+        ).collect()
+    }
+    assert 3 <= iters[0] < 60
+    fixed = {
+        r["node"]: (r["hub"], r["authority"])
+        for r in hits(_edges_df(spark, EDGES), n_iter=60).collect()
+    }
+    assert set(got) == set(fixed)
+    for u in fixed:  # normalized vectors: converged direction matches
+        assert got[u][0] == pytest.approx(fixed[u][0], abs=1e-6)
+        assert got[u][1] == pytest.approx(fixed[u][1], abs=1e-6)

@@ -68,6 +68,8 @@ def test_gate_window_contract():
         "resolve_redirects",      # r4: iterative oracle (pointer doubling)
         "host_health",            # r4: per-host circuit-breaker rollup
         "frontier_schedule",      # r5: composed round scheduler (gates+rank)
+        "opic_priority",          # r5: unrolled-iteration OPIC twin
+        "pagerank_scores",        # r5: unrolled-iteration PageRank twin
     }
 
 

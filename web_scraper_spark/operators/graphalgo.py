@@ -42,6 +42,9 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     edges_distinct: bool = False,
+    round_dp: int = 9,
+    tol: float | None = None,
+    iters_out: list | None = None,
 ) -> DataFrame:
     """PageRank over a directed edge list → (node, rank), sum(rank) == 1.
 
@@ -54,6 +57,20 @@ def pagerank(
     Σ rank_{i+1} = (1−d) + d·(Σ in_rank + dm) = 1). No per-iteration
     anti-join, no broadcast build. Pass ``edges_distinct=True`` when the
     caller already deduplicated (src, dst) to skip the extra shuffle.
+
+    ``tol``: optional early exit — the per-iteration ``Observation``
+    additionally reports the L1 delta Σ|rank_i − rank_{i-1}| (the old
+    rank rides the update projection as an extra column, so the check
+    costs ZERO extra Spark jobs and no extra join: the update already
+    left-joins the previous rank frame), and the loop stops as soon as
+    delta < tol. ``n_iter`` stays the hard cap. The anytime/registered
+    oracle twins use fixed-iteration mode (tol=None) — the DuckDB twin
+    unrolls a FIXED count; tol mode is for production callers (e.g. the
+    dedup-centrality representative pick, where only the RANKING
+    matters) and is tested for ranking-equality + early termination in
+    tests/test_graphalgo.py. ``iters_out``: optional list; the number of
+    update iterations actually executed is appended (observability for
+    tests/bench).
 
     Returns ranks rounded to 9 dp (cross-partitioning stable well above
     double noise; exact determinism for a FIXED partitioning is already
@@ -91,6 +108,7 @@ def pagerank(
     base = (1.0 - damping) / n_nodes
     dm = (n_nodes - n_out) / n_nodes  # dangling mass of the uniform init
     ranks = nodes.select("node", "has_out", F.lit(1.0 / n_nodes).alias("rank"))
+    it_done = 0
     for it in range(n_iter):
         contrib = (
             adj.join(ranks, adj.src == ranks.node)
@@ -98,26 +116,37 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("in_rank"))
         )
-        ranks = nodes.join(contrib, on="node", how="left").select(
-            "node",
-            "has_out",
-            (
-                F.lit(base)
-                + F.lit(damping)
-                * (F.coalesce(F.col("in_rank"), F.lit(0.0)) + F.lit(dm / n_nodes))
-            ).alias("rank"),
-        )
+        # join the PREVIOUS rank frame (not the node frame) so the old
+        # rank stays in scope — identical row set, and tol mode's L1
+        # delta then needs no extra join or job.
+        new_rank = (
+            F.lit(base)
+            + F.lit(damping)
+            * (F.coalesce(F.col("in_rank"), F.lit(0.0)) + F.lit(dm / n_nodes))
+        ).alias("rank")
+        cols = ["node", "has_out", new_rank]
+        if tol is not None:
+            cols.append(F.col("rank").alias("_prev"))
+        ranks = ranks.join(contrib, on="node", how="left").select(*cols)
+        it_done = it + 1
         if it == n_iter - 1:
             # the last update's dangling mass feeds nothing — stay lazy
             # (one join+agg level above the checkpointed ranks_{n-1};
             # the caller's consuming action materializes it exactly once)
             break
         obs = Observation()
-        ranks = ranks.observe(
-            obs,
+        metrics = [
             F.sum(
                 F.when(F.col("has_out") == 1, F.col("rank")).otherwise(F.lit(0.0))
             ).alias("live"),
+        ]
+        if tol is not None:
+            metrics.append(
+                F.sum(F.abs(F.col("rank") - F.col("_prev"))).alias("delta")
+            )
+        ranks = ranks.observe(
+            obs,
+            *metrics,
             # sever lineage each iteration (same discipline as
             # dedup.dedup_clusters): without it the rank plan nests one
             # join+agg level per iteration and both analysis cost and
@@ -126,8 +155,13 @@ def pagerank(
             # eager materialization is ALSO the action that fires the
             # observation feeding the next iteration's dangling mass.
         ).localCheckpoint(eager=True)
-        dm = 1.0 - obs.get["live"]
-    return ranks.select("node", F.round("rank", 9).alias("rank"))
+        got = obs.get
+        dm = 1.0 - got["live"]
+        if tol is not None and got["delta"] < tol:
+            break
+    if iters_out is not None:
+        iters_out.append(it_done)
+    return ranks.select("node", F.round("rank", round_dp).alias("rank"))
 
 
 def cluster_representatives(
@@ -183,6 +217,8 @@ def hits(
     src: str = "src",
     dst: str = "dst",
     edges_distinct: bool = False,
+    tol: float | None = None,
+    iters_out: list | None = None,
 ) -> DataFrame:
     """HITS hubs & authorities (Kleinberg 1999) over a directed edge
     list → (node, hub, authority), each vector L2-normalized.
@@ -204,6 +240,19 @@ def hits(
     the final normalization restores unit scale before the 9-dp rounding
     (the pagerank determinism recipe: fixed iterations, round at the
     end only).
+
+    ``tol``: optional early exit. Because the unnormalized hub vector
+    grows like λ₁^k, the raw L1 delta never shrinks; the standard
+    power-method residual is used instead: with s_i = Σ hub_i observed
+    per iteration, r̂ = s_{i-1}/s_{i-2} estimates the dominant
+    eigenvalue (exact at convergence), and the loop stops when
+    Σ|hub_i − r̂·hub_{i-1}| / s_i < tol — i.e. the DIRECTION of the
+    vector stopped changing. Costs one co-partitioned (node, hub) join
+    per iteration (both sides hash-partitioned on node by their
+    groupBys, so no extra exchange) and no extra jobs (the residual
+    rides the checkpoint ``Observation``); checked from iteration 3
+    onward (two sums must exist to form r̂). ``iters_out``: list to
+    append the executed iteration count to.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if not edges_distinct:
@@ -226,22 +275,64 @@ def hits(
     hub = e.select(F.col("src").alias("node")).distinct().select(
         "node", F.lit(1.0).alias("hub")
     )
-    for _ in range(n_iter):
+    s_prev: float | None = None
+    s_prev2: float | None = None
+    it_done = 0
+    for it in range(n_iter):
         auth = (
             e.join(hub, e.src == hub.node)
             .select(F.col("dst").alias("node"), F.col("hub").alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("authority"))
         )
-        hub = (
+        new_hub = (
             e.join(auth, e.dst == auth.node)
             .select(F.col("src").alias("node"), F.col("authority").alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("hub"))
+        )
+        it_done = it + 1
+        check = tol is not None and s_prev is not None and s_prev2 is not None
+        obs = Observation() if tol is not None else None
+        if check:
+            r_hat = s_prev / s_prev2
+            # hub's node set is the fixed source set from iteration 1 on,
+            # so this outer join only guards the first checked iteration;
+            # both sides are hash-partitioned on node by their groupBys —
+            # no extra exchange in the joined plan.
+            new_hub = (
+                new_hub.join(
+                    hub.select("node", F.col("hub").alias("_ph")), "node", "outer"
+                )
+                .select(
+                    "node",
+                    F.coalesce("hub", F.lit(0.0)).alias("hub"),
+                    F.coalesce("_ph", F.lit(0.0)).alias("_ph"),
+                )
+                .observe(
+                    obs,
+                    F.sum("hub").alias("s"),
+                    F.sum(
+                        F.abs(F.col("hub") - F.lit(r_hat) * F.col("_ph"))
+                    ).alias("d"),
+                )
+                .select("node", "hub")
+            )
+        elif tol is not None:
+            new_hub = new_hub.observe(obs, F.sum("hub").alias("s"))
+        hub = (
+            new_hub
             # sever lineage each iteration (the dedup_clusters/pagerank
             # discipline); RDD-scoped storage, freed by the ContextCleaner
             .localCheckpoint(eager=True)
         )
+        if tol is not None:
+            got = obs.get
+            if check and got["d"] / got["s"] < tol:
+                break
+            s_prev2, s_prev = s_prev, got["s"]
+    if iters_out is not None:
+        iters_out.append(it_done)
     auth = (
         e.join(hub, e.src == hub.node)
         .select(F.col("dst").alias("node"), F.col("hub").alias("c"))
@@ -277,6 +368,9 @@ def opic(
     src: str = "src",
     dst: str = "dst",
     edges_distinct: bool = False,
+    round_dp: int = 9,
+    tol: float | None = None,
+    iters_out: list | None = None,
 ) -> DataFrame:
     """OPIC — On-line Page Importance Computation (Abiteboul, Preda &
     Cobena, WWW 2003), the importance estimator designed FOR crawlers:
@@ -301,6 +395,15 @@ def opic(
     reporting the live (non-dangling) cash for the next round's
     dangling redistribution; shuffles carry only (node, cash, hist)
     triples. Fixed iteration count; rounding at the END only (9 dp).
+
+    ``tol``: optional early exit on the L1 cash delta Σ|c_i − c_{i-1}|
+    riding the same per-iteration ``Observation`` (zero extra jobs — the
+    update projection already has the previous cash in scope); the final
+    estimate divides by the ACTUAL rounds executed + 1, which is the
+    paper's anytime property: stopping early is a valid estimate, just a
+    different one, so the registered/oracled query uses fixed-iteration
+    mode (the DuckDB twin unrolls a fixed count). ``iters_out``: list to
+    append the executed round count to.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if not edges_distinct:
@@ -331,6 +434,7 @@ def opic(
         F.lit(0.0).alias("hist"),
     )
     dm = (n_nodes - n_out) / n_nodes  # dangling cash of the uniform init
+    it_done = 0
     for it in range(n_iter):
         contrib = (
             adj.join(state, adj.src == state.node)
@@ -338,27 +442,176 @@ def opic(
             .groupBy("node")
             .agg(F.sum("c").alias("in_cash"))
         )
-        state = state.join(contrib, on="node", how="left").select(
-            "node",
-            "has_out",
+        cols = [
+            F.col("node"),
+            F.col("has_out"),
             (F.coalesce(F.col("in_cash"), F.lit(0.0)) + F.lit(dm / n_nodes)).alias(
                 "cash"
             ),
             (F.col("hist") + F.col("cash")).alias("hist"),
-        )
+        ]
+        if tol is not None:
+            cols.append(F.col("cash").alias("_prev"))
+        state = state.join(contrib, on="node", how="left").select(*cols)
+        it_done = it + 1
         if it == n_iter - 1:
             break
         obs = Observation()
-        state = state.observe(
-            obs,
+        metrics = [
             F.sum(
                 F.when(F.col("has_out") == 1, F.col("cash")).otherwise(F.lit(0.0))
             ).alias("live"),
-        ).localCheckpoint(eager=True)
-        dm = 1.0 - obs.get["live"]
+        ]
+        if tol is not None:
+            metrics.append(
+                F.sum(F.abs(F.col("cash") - F.col("_prev"))).alias("delta")
+            )
+        state = state.observe(obs, *metrics).localCheckpoint(eager=True)
+        got = obs.get
+        dm = 1.0 - got["live"]
+        if tol is not None and got["delta"] < tol:
+            break
+    if iters_out is not None:
+        iters_out.append(it_done)
     return state.select(
         "node",
-        F.round((F.col("hist") + F.col("cash")) / F.lit(float(n_iter + 1)), 9).alias(
-            "importance"
-        ),
+        F.round(
+            (F.col("hist") + F.col("cash")) / F.lit(float(it_done + 1)), round_dp
+        ).alias("importance"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB twins — the resolve_redirects recipe extended to power iteration.
+#
+# A FIXED iteration count makes the whole computation a finite expression
+# DAG, so the oracle simply UNROLLS it: one (contrib, state) CTE pair per
+# iteration, each a plain double-arithmetic restatement of the Spark
+# update. Every scalar the Spark side derives on the driver (n_nodes,
+# n_out, the per-iteration dangling mass fed forward through the
+# Observation) becomes a scalar subquery computed from the same frame.
+# All literals and divisions are cast ::DOUBLE explicitly — DuckDB parses
+# bare decimal literals as DECIMAL, whose division semantics differ from
+# the IEEE doubles Spark uses. The only engine divergence left is
+# aggregation ORDER inside sum(); that is ~1 ulp (~1e-16 relative) per
+# iteration, and the final round() (6 dp for the registered queries, vs
+# values O(1e-3)) sits ~9 orders of magnitude above it, so the rounded
+# scores hash-match (the source_kl argument, applied to an iterative op).
+
+
+def _graph_setup_sql(links_cte: str) -> str:
+    """Shared CTE prelude: distinct edges, out-degrees, the node frame
+    with has_out, the (n, n_out) scalar frame, and the adjacency.
+
+    Every CTE here and in the unrolled iteration chain is declared
+    MATERIALIZED: DuckDB 1.0 INLINES plain CTEs per reference, and the
+    s{{i}} -> s{{i-1}} -> ... chain with per-step scalar subqueries would
+    re-expand the whole prefix exponentially (observed as "Too many open
+    files" re-scanning the parquet thousands of times). Materialization
+    makes the oracle evaluate each step exactly once — the same
+    once-per-iteration cost profile as the Spark side's localCheckpoint."""
+    return f"""
+        links AS MATERIALIZED ({links_cte}),
+        e AS MATERIALIZED (SELECT DISTINCT src, dst FROM links),
+        out_deg AS MATERIALIZED (
+            SELECT src, count(*) AS deg FROM e GROUP BY src),
+        nodes AS MATERIALIZED (
+            SELECT node, max(has_out) AS has_out FROM (
+                SELECT src AS node, 1 AS has_out FROM e
+                UNION ALL
+                SELECT dst AS node, 0 AS has_out FROM e
+            ) u GROUP BY node
+        ),
+        g AS MATERIALIZED (
+            SELECT count(*) AS n, sum(has_out) AS n_out FROM nodes),
+        adj AS MATERIALIZED (
+            SELECT e.src, e.dst, d.deg FROM e JOIN out_deg d USING (src))
+    """
+
+
+def pagerank_sql(
+    links_cte: str,
+    n_iter: int = 10,
+    damping: float = 0.85,
+    round_dp: int = 9,
+) -> str:
+    """Unrolled fixed-iteration PageRank twin of :func:`pagerank`."""
+    d = repr(float(damping))
+    parts = [_graph_setup_sql(links_cte)]
+    parts.append("""
+        s0 AS MATERIALIZED (
+            SELECT node, has_out,
+                   1.0::DOUBLE / (SELECT n FROM g) AS rank
+            FROM nodes
+        ),
+        d0 AS MATERIALIZED (SELECT ((SELECT n FROM g) - (SELECT n_out FROM g))::DOUBLE
+                      / (SELECT n FROM g) AS dm)
+    """)
+    for i in range(1, n_iter + 1):
+        p = i - 1
+        parts.append(f"""
+        c{i} AS MATERIALIZED (
+            SELECT a.dst AS node, sum(s.rank / a.deg) AS in_rank
+            FROM adj a JOIN s{p} s ON a.src = s.node GROUP BY a.dst
+        ),
+        s{i} AS MATERIALIZED (
+            SELECT s.node, s.has_out,
+                   (1.0::DOUBLE - {d}::DOUBLE) / (SELECT n FROM g)
+                   + {d}::DOUBLE * (coalesce(c.in_rank, 0.0::DOUBLE)
+                       + (SELECT dm FROM d{p}) / (SELECT n FROM g)) AS rank
+            FROM s{p} s LEFT JOIN c{i} c ON s.node = c.node
+        )
+        """)
+        if i < n_iter:
+            parts.append(f"""
+        d{i} AS MATERIALIZED (SELECT 1.0::DOUBLE - (SELECT sum(CASE WHEN has_out = 1
+                        THEN rank ELSE 0.0::DOUBLE END) FROM s{i}) AS dm)
+            """)
+    body = ",".join(parts)
+    return f"""
+        WITH {body}
+        SELECT node, round(rank, {round_dp}) AS rank FROM s{n_iter}
+    """
+
+
+def opic_sql(links_cte: str, n_iter: int = 8, round_dp: int = 9) -> str:
+    """Unrolled fixed-iteration OPIC twin of :func:`opic`."""
+    parts = [_graph_setup_sql(links_cte)]
+    parts.append("""
+        s0 AS MATERIALIZED (
+            SELECT node, has_out,
+                   1.0::DOUBLE / (SELECT n FROM g) AS cash,
+                   0.0::DOUBLE AS hist
+            FROM nodes
+        ),
+        d0 AS MATERIALIZED (SELECT ((SELECT n FROM g) - (SELECT n_out FROM g))::DOUBLE
+                      / (SELECT n FROM g) AS dm)
+    """)
+    for i in range(1, n_iter + 1):
+        p = i - 1
+        parts.append(f"""
+        c{i} AS MATERIALIZED (
+            SELECT a.dst AS node, sum(s.cash / a.deg) AS in_cash
+            FROM adj a JOIN s{p} s ON a.src = s.node GROUP BY a.dst
+        ),
+        s{i} AS MATERIALIZED (
+            SELECT s.node, s.has_out,
+                   coalesce(c.in_cash, 0.0::DOUBLE)
+                       + (SELECT dm FROM d{p}) / (SELECT n FROM g) AS cash,
+                   s.hist + s.cash AS hist
+            FROM s{p} s LEFT JOIN c{i} c ON s.node = c.node
+        )
+        """)
+        if i < n_iter:
+            parts.append(f"""
+        d{i} AS MATERIALIZED (SELECT 1.0::DOUBLE - (SELECT sum(CASE WHEN has_out = 1
+                        THEN cash ELSE 0.0::DOUBLE END) FROM s{i}) AS dm)
+            """)
+    body = ",".join(parts)
+    return f"""
+        WITH {body}
+        SELECT node,
+               round((hist + cash) / {float(n_iter + 1)!r}::DOUBLE,
+                     {round_dp}) AS importance
+        FROM s{n_iter}
+    """

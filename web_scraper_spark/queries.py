@@ -34,6 +34,7 @@ from web_scraper_spark.frontier import health as hl_mod
 from web_scraper_spark.frontier import redirects as rd_mod
 from web_scraper_spark.frontier import schedule as sch_mod
 from web_scraper_spark.frontier import traps as tr
+from web_scraper_spark.operators import graphalgo as ga_mod
 from web_scraper_spark.sources import warc as wa
 from web_scraper_spark.operators import phrase as ph
 from web_scraper_spark.operators import search as se
@@ -1382,15 +1383,36 @@ def q_opic_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     Abiteboul–Preda–Cobena WWW 2003) over the synthetic link graph —
     the anytime crawl-ordering estimator (cash/history, usable
     mid-crawl) next to frontier_priority's inlink count and
-    dedup_centrality's PageRank. Rows-only: iterative double arithmetic
-    (numpy-twin equality, partition invariance, and the anytime-ranking
-    property asserted in tests/test_graphalgo.py). 6 iterations: the
-    RANKING stabilizes at the knee; per-iteration job constants dominate
-    toy SF (the dedup_centrality lesson)."""
+    dedup_centrality's PageRank. VALUE-EXACT oracled (r5, the
+    resolve_redirects recipe extended to power iteration): the fixed
+    6-iteration loop unrolls into a DuckDB CTE chain
+    (graphalgo.opic_sql), per-step dangling-cash scalars restated as
+    scalar subqueries; scores rounded to 6 dp — values are O(1/n)
+    ≈ 7e-5 while the engines' summation-order drift is ~1e-15, so the
+    rounding sits ~9 orders above the noise (the source_kl argument).
+    numpy-twin equality / partition invariance / anytime-ranking stay
+    asserted in tests/test_graphalgo.py. 6 iterations: the RANKING
+    stabilizes at the knee; per-iteration job constants dominate toy SF
+    (the dedup_centrality lesson)."""
     from web_scraper_spark.operators import graphalgo as ga
 
     links = _synthetic_links(spark, sf_dir).select("src", "dst")
-    return ga.opic(links, n_iter=6)
+    return ga.opic(links, n_iter=6, round_dp=6)
+
+
+def q_pagerank_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain PageRank (Brin & Page 1998; operators/graphalgo.py::
+    pagerank) over the synthetic link graph — the global-importance
+    complement to OPIC's anytime estimate, the same operator
+    dedup_centrality runs on the near-dup pair graph. VALUE-EXACT
+    oracled (r5): the fixed 6-iteration power loop unrolls into the
+    DuckDB CTE chain of graphalgo.pagerank_sql, teleport + dangling
+    redistribution restated per step, 6-dp rounding (see
+    q_opic_priority for the precision argument)."""
+    from web_scraper_spark.operators import graphalgo as ga
+
+    links = _synthetic_links(spark, sf_dir).select("src", "dst")
+    return ga.pagerank(links, n_iter=6, round_dp=6)
 
 
 def q_focused_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2477,7 +2499,10 @@ def queries() -> dict[str, QueryFn]:
         "dedup_centrality": q_dedup_centrality,
         "media_container_meta": q_media_container_meta,
         "link_hits": q_link_hits,
+        # r5: OPIC + PageRank promoted rows-only → value-exact oracled
+        # (unrolled fixed-iteration DuckDB twins, graphalgo.*_sql)
         "opic_priority": q_opic_priority,
+        "pagerank_scores": q_pagerank_scores,
     }
 
 
@@ -2561,6 +2586,9 @@ def oracle_sql() -> dict[str, str]:
             + sm.sitemap_entries_sql("bodies")
             + ") SELECT * FROM entries"
         ),
+        # r5: iterative link-analysis oracles (unrolled power iteration)
+        "opic_priority": ga_mod.opic_sql(LINKS_CTE, n_iter=6, round_dp=6),
+        "pagerank_scores": ga_mod.pagerank_sql(LINKS_CTE, n_iter=6, round_dp=6),
         "q3_shipping_priority": f"""
             SELECT l_orderkey, o_orderdate, o_orderpriority,
                    {an.dec_sum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
