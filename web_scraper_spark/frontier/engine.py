@@ -88,6 +88,11 @@ class CrawlConfig:
     health_min_evidence: int = 20
     health_suspend_rate: float = 0.5
     health_error_statuses: tuple = ("fetch_failed", "timeout", "http_5xx", "conn_refused")
+    # r5 — sitemap-seeded discovery (seed_frontier_from_sitemaps): keep
+    # only entries whose <lastmod> DATE == as_of's date (the daily-crawl
+    # analogue of F4's slug-date window; entries without a parseable
+    # lastmod are dropped). False seeds every listed URL.
+    sitemap_lastmod_window: bool = True
 
     def alpha_target_date(self):
         d = datetime.fromisoformat(self.as_of).date()
@@ -137,6 +142,73 @@ def seed_frontier(spark: SparkSession, seeds: list[str], cfg: CrawlConfig) -> Da
         .withColumn("listing_pos", F.lit(-1))
         .withColumn("listing_date", F.lit(""))
         .withColumn("inlinks", F.lit(0).cast("long"))
+        .withColumn("fail_count", F.lit(0))
+        .withColumn("round_added", F.lit(0))
+        .select(*[f.split(" ")[0] for f in FRONTIER_SCHEMA.replace(", ", ",").split(",")])
+    )
+
+
+def seed_frontier_from_sitemaps(
+    spark: SparkSession, bodies: DataFrame, cfg: CrawlConfig
+) -> DataFrame:
+    """Round-0 frontier from raw sitemap XML bodies (sitemaps.org) — the
+    discovery channel the reference lacks entirely (its crawler.py only
+    walks menus/listings) but every production news crawler leads with.
+
+    bodies: (sitemap_url, body) rows. Leaf ``<urlset>`` entries become
+    depth-2 frontier entries (article URLs — no hub fetches needed for
+    discovery); ``<sitemapindex>`` rows are ignored here because the
+    caller already materialized every leaf body (a live crawler fetches
+    index children first — tiny metadata I/O, not a scale concern).
+    Under ``cfg.sitemap_lastmod_window`` only entries whose lastmod DATE
+    equals as_of's date survive (the daily-crawl analogue of F4).
+
+    Scale shape: the parse is frontier/sitemap.py's pure-codegen explode
+    (one row per ≤50 MB body fans to ≤50k entries), the dedup is one
+    url_canon-partitioned window — no driver collection anywhere, so a
+    10^8-entry sitemap dump seeds at scan speed. Entry priority: sitemap
+    position (``listing_pos``), the protocol's deterministic order;
+    duplicate locs keep the first (source_pos, pos) entry and aggregate
+    into ``inlinks``, mirroring _next_frontier's first-discovery-wins.
+    Simulator twin: frontier/simulator.py seeds from the same bodies;
+    crawl-equality asserted in tests/test_crawl.py."""
+    from web_scraper_spark.frontier.sitemap import sitemap_entries
+
+    src_pos_map = F.create_map(
+        *[x for i, s in enumerate(cfg.sources_by_pos) for x in (F.lit(s), F.lit(i))]
+    )
+    entries = sitemap_entries(bodies).where(F.col("kind") == "url")
+    if cfg.sitemap_lastmod_window:
+        as_of_date = datetime.fromisoformat(cfg.as_of).date()
+        entries = entries.where(
+            F.expr("try_to_date(substring(lastmod, 1, 10), 'yyyy-MM-dd')")
+            == F.lit(as_of_date)
+        )
+    keyed = _with_keys(
+        entries.select(
+            F.col("loc").alias("url"), F.col("pos").alias("listing_pos")
+        ),
+        cfg.n_buckets,
+    )
+    keyed = keyed.withColumn(
+        "source", F.split_part(F.col("host"), F.lit("."), F.lit(1))
+    ).withColumn(
+        "source_pos", F.coalesce(src_pos_map[F.col("source")], F.lit(99))
+    )
+    w = Window.partitionBy("url_canon").orderBy("source_pos", "listing_pos", "url")
+    return (
+        keyed.withColumn(
+            "inlinks",
+            F.count("*").over(Window.partitionBy("url_canon")).cast("long"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .withColumn("depth", F.lit(2))
+        .withColumn("category_name", F.lit(""))
+        .withColumn("category_pos", F.lit(-1))
+        .withColumn("page_no", F.lit(0))
+        .withColumn("listing_date", F.lit(""))
         .withColumn("fail_count", F.lit(0))
         .withColumn("round_added", F.lit(0))
         .select(*[f.split(" ")[0] for f in FRONTIER_SCHEMA.replace(", ", ",").split(",")])
@@ -209,8 +281,15 @@ class CrawlEngine:
 
     # ------------------------------------------------------------------
 
-    def init(self, seeds: list[str]) -> None:
-        """Commit round 0: seed frontier, empty seen/log.
+    def init(
+        self,
+        seeds: list[str] | None = None,
+        sitemap_bodies: DataFrame | None = None,
+    ) -> None:
+        """Commit round 0: seed frontier, empty seen/log. Discovery starts
+        either from a URL seed list (menu-walk mode, the reference shape)
+        or from raw sitemap bodies (seed_frontier_from_sitemaps) —
+        exactly one of the two.
 
         Fresh-crawl semantics: any previous snapshots in the state dir are
         dropped first — re-seeding means "start over", and the committer's
@@ -219,21 +298,36 @@ class CrawlEngine:
         clear, then exactly one wins the round-0 manifest link)."""
         import shutil
 
+        assert (seeds is None) != (sitemap_bodies is None), (
+            "exactly one of seeds / sitemap_bodies"
+        )
         for name in list(os.listdir(self.state.dir)):
             if name.startswith(("round=", "seen_compact=")):
                 shutil.rmtree(os.path.join(self.state.dir, name), ignore_errors=True)
         empty_seen = self.spark.createDataFrame([], "url_hash long, bucket int, url_canon string, round int")
         empty_log = self.spark.createDataFrame([], FETCH_LOG_SCHEMA)
-        fr = seed_frontier(self.spark, seeds, self.cfg)
-        self.state.commit_round(0, fr, empty_seen, empty_log, {"seeded": len(seeds)})
+        if sitemap_bodies is not None:
+            fr = seed_frontier_from_sitemaps(self.spark, sitemap_bodies, self.cfg)
+            meta = {"seeded_from_sitemaps": True}
+        else:
+            fr = seed_frontier(self.spark, seeds, self.cfg)
+            meta = {"seeded": len(seeds)}
+        self.state.commit_round(0, fr, empty_seen, empty_log, meta)
 
     # ------------------------------------------------------------------
 
-    def run(self, seeds: list[str] | None = None, resume: bool = False) -> list[RoundResult]:
+    def run(
+        self,
+        seeds: list[str] | None = None,
+        resume: bool = False,
+        sitemap_bodies: DataFrame | None = None,
+    ) -> list[RoundResult]:
         last = self.state.last_committed_round()
         if not resume or last is None:
-            assert seeds is not None, "seeds required for a fresh crawl"
-            self.init(seeds)
+            assert seeds is not None or sitemap_bodies is not None, (
+                "seeds or sitemap_bodies required for a fresh crawl"
+            )
+            self.init(seeds, sitemap_bodies=sitemap_bodies)
             last = 0
         results = []
         fetch_offset = self._fetch_offset(last)

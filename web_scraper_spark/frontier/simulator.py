@@ -79,11 +79,54 @@ def _resolve_redirect_py(
     return None if cur in redirects else cur
 
 
+def _sitemap_seed_entries(
+    crawl_cfg: CrawlConfig, sitemap_bodies: list[tuple[str, str]], src_pos: dict
+) -> dict[str, SimEntry]:
+    """Pure-Python twin of engine.seed_frontier_from_sitemaps: parse leaf
+    ``<urlset>`` bodies with the SAME regexes/entity chain as
+    frontier/sitemap.py, apply the lastmod == as_of-date window, and seed
+    depth-2 entries in (source_pos, pos, url) order (the engine's
+    first-wins dedup key), inlinks aggregating duplicate locs via _add."""
+    import re
+
+    from web_scraper_spark.frontier.sitemap import _ENTITIES, _FIELD_RES, _URL_BLOCK_RE
+
+    as_of_date = datetime.fromisoformat(crawl_cfg.as_of).date()
+    parsed: list[tuple[int, int, str]] = []  # (source_pos, pos, loc)
+    for _sm_url, body in sitemap_bodies:
+        if "<sitemapindex" in body:
+            continue  # engine seeds from leaf entries only (documented)
+        for pos0, block in enumerate(re.findall(_URL_BLOCK_RE, body)):
+            m = re.search(_FIELD_RES["loc"], block)
+            loc = m.group(1).strip() if m else ""
+            if not loc:
+                continue
+            for ent, ch in _ENTITIES:
+                loc = loc.replace(ent, ch)
+            if crawl_cfg.sitemap_lastmod_window:
+                lm = re.search(_FIELD_RES["lastmod"], block)
+                lastmod = lm.group(1).strip() if lm else ""
+                try:
+                    ok = datetime.strptime(lastmod[:10], "%Y-%m-%d").date() == as_of_date
+                except ValueError:
+                    ok = False
+                if not ok:
+                    continue
+            source = loc.split("/")[2].split(".")[0]
+            parsed.append((src_pos.get(source, 99), pos0 + 1, loc))
+    entries: dict[str, SimEntry] = {}
+    for sp, pos, loc in sorted(parsed):
+        source = loc.split("/")[2].split(".")[0]
+        _add(entries, loc, source, src_pos, depth=2, listing_pos=pos, round_added=0)
+    return entries
+
+
 def simulate_crawl(
     site_cfg: SiteConfig,
     crawl_cfg: CrawlConfig,
-    seeds: list[str],
+    seeds: list[str] | None = None,
     redirects: dict[str, str] | None = None,
+    sitemap_bodies: list[tuple[str, str]] | None = None,
 ) -> SimResult:
     specs = {canon_url_py(s["url"]): s for s in build_site(site_cfg)}
     robots = {}
@@ -99,13 +142,19 @@ def simulate_crawl(
     alpha_target = crawl_cfg.alpha_target_date()  # F4 as_of/yesterday mode
     src_pos = {s: i for i, s in enumerate(crawl_cfg.sources_by_pos)}
 
-    frontier: dict[str, SimEntry] = {}
-    for u in seeds:
-        host = u.split("/")[2]
-        source = host.split(".")[0]
-        frontier[canon_url_py(u)] = SimEntry(
-            url=u, source=source, source_pos=src_pos.get(source, 99), depth=0
-        )
+    assert (seeds is None) != (sitemap_bodies is None), (
+        "exactly one of seeds / sitemap_bodies"
+    )
+    if sitemap_bodies is not None:
+        frontier = _sitemap_seed_entries(crawl_cfg, sitemap_bodies, src_pos)
+    else:
+        frontier = {}
+        for u in seeds:
+            host = u.split("/")[2]
+            source = host.split(".")[0]
+            frontier[canon_url_py(u)] = SimEntry(
+                url=u, source=source, source_pos=src_pos.get(source, 99), depth=0
+            )
 
     res = SimResult()
     fetch_pos = 0

@@ -500,3 +500,72 @@ def build_robots_txt_df(spark, cfg: SiteConfig | None = None):
             )
         )
     return spark.createDataFrame(rows, "host string, robots_txt string")
+
+
+# ---------------------------------------------------------------------------
+# Sitemap bodies (sitemaps.org) — the alternative discovery channel
+# ---------------------------------------------------------------------------
+
+
+def _xml_escape(s: str) -> str:
+    """sitemaps.org requires entity-escaped <loc> URLs; the exact inverse
+    of frontier/sitemap.py::_unescape (& first, so round-trips hold)."""
+    for ch, ent in (
+        ("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"), ('"', "&quot;"), ("'", "&apos;")
+    ):
+        s = s.replace(ch, ent)
+    return s
+
+
+def build_sitemap_bodies(cfg: SiteConfig | None = None) -> list[tuple[str, str]]:
+    """Deterministic (sitemap_url, body) rows for the synthetic site:
+    one ``<urlset>`` leaf per source listing EVERY published article URL
+    (a site's sitemap is generated from its CMS database, so it includes
+    the ``missing_article_mod`` dropouts whose pages 404 — the crawl sees
+    them as fetch_failed, exercising the retry budget under sitemap
+    seeding), ``<lastmod>`` = the article's publish timestamp, plus one
+    ``<sitemapindex>`` naming the leaves (the engine seeds from leaf
+    entries only; index rows are the fetch-recursion signal a live
+    crawler would follow, and all leaves are already in this list)."""
+    cfg = cfg or SiteConfig()
+    out: list[tuple[str, str]] = []
+    index_locs: list[str] = []
+    for source, base in cfg.hosts.items():
+        entries = []
+        for cat_pos, cat in enumerate(_categories(cfg, source)):
+            for r in _article_urls(cfg, source, cat, cat_pos):
+                entries.append(
+                    f"<url><loc>{_xml_escape(r['url'])}</loc>"
+                    f"<lastmod>{r['publish_ts']}</lastmod></url>"
+                )
+        sm_url = f"{base}/sitemap-articles.xml"
+        index_locs.append(sm_url)
+        out.append(
+            (
+                sm_url,
+                '<?xml version="1.0" encoding="UTF-8"?>\n'
+                '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+                + "\n".join(entries)
+                + "\n</urlset>",
+            )
+        )
+    index_body = (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+        + "\n".join(
+            f"<sitemap><loc>{_xml_escape(u)}</loc></sitemap>" for u in index_locs
+        )
+        + "\n</sitemapindex>"
+    )
+    first_base = next(iter(cfg.hosts.values()))
+    out.insert(0, (f"{first_base}/sitemap.xml", index_body))
+    return out
+
+
+def build_sitemaps_df(spark, cfg: SiteConfig | None = None):
+    """``build_sitemap_bodies`` as the (sitemap_url, body) DataFrame
+    frontier/sitemap.py::sitemap_entries and the engine's sitemap seed
+    path consume."""
+    return spark.createDataFrame(
+        build_sitemap_bodies(cfg), "sitemap_url string, body string"
+    )
