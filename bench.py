@@ -559,6 +559,11 @@ def run_level(cpus: int, repeats: int = 2) -> dict:
     spark.range(1000).count()
     calibration_s = min(bench_calibration(spark) for _ in range(repeats))
     frontier = min((bench_frontier(spark) for _ in range(repeats)), key=lambda r: r["wall_s"])
+    # r5: a second, 4x-larger frontier size (48M URLs) — the design-point
+    # claim is that efficiency RISES as per-job constants amortize over
+    # more rows (BENCH_CRAWL_BY_SIZE showed it crawl-side); one run per
+    # level per pass (the --scaling alternation still gives best-of-2)
+    frontier_48m = bench_frontier(spark, n_urls=48_000_000)
     parse = min((bench_parse(spark, articles_per_category=800) for _ in range(repeats)), key=lambda r: r["wall_s"])
     crawl = bench_crawl(spark)
     spark.stop()
@@ -566,6 +571,7 @@ def run_level(cpus: int, repeats: int = 2) -> dict:
         "cpus": cpus,
         "calibration_s": calibration_s,
         "frontier": frontier,
+        "frontier_48m": frontier_48m,
         "parse": parse,
         "crawl": crawl,
     }
@@ -601,11 +607,13 @@ def run_scaling(n: int = 2, n4: int = 8) -> dict:
                 out["levels"][key] = got
             else:
                 prev["calibration_s"] = min(prev["calibration_s"], got["calibration_s"])
-                for job in ("frontier", "parse", "crawl"):
+                for job in ("frontier", "frontier_48m", "parse", "crawl"):
                     if got[job]["wall_s"] < prev[job]["wall_s"]:
                         prev[job] = got[job]
     fN = out["levels"][str(n)]["frontier"]["urls_per_s"]
     f4N = out["levels"][str(n4)]["frontier"]["urls_per_s"]
+    f48N = out["levels"][str(n)]["frontier_48m"]["urls_per_s"]
+    f48_4N = out["levels"][str(n4)]["frontier_48m"]["urls_per_s"]
     cN = out["levels"][str(n)]["crawl"]["urls_per_s"]
     c4N = out["levels"][str(n4)]["crawl"]["urls_per_s"]
     calN = out["levels"][str(n)]["calibration_s"]
@@ -617,11 +625,21 @@ def run_scaling(n: int = 2, n4: int = 8) -> dict:
     out["machine_speedup"] = round(machine_speedup, 3)
     out["machine_efficiency"] = round(machine_speedup / ratio, 3)
     out["frontier_scaling_efficiency"] = round(f4N / (ratio * fN), 3)
+    # r5: the same job at 4x the frontier rows — the efficiency-vs-size
+    # comparison (rising = constants amortize, the 100 TB design claim)
+    out["frontier48_scaling_efficiency"] = round(f48_4N / (ratio * f48N), 3)
+    out["frontier_efficiency_by_size"] = {
+        "12M": out["frontier_scaling_efficiency"],
+        "48M": out["frontier48_scaling_efficiency"],
+    }
     out["parse_scaling_efficiency"] = round(p4N / (ratio * pN), 3)
     out["crawl_scaling_efficiency"] = round(c4N / (ratio * cN), 3)
     # job speedup normalized to what the hardware proved it can deliver on
     # a shuffle-free perfectly-parallel job
     out["frontier_efficiency_vs_machine"] = round((f4N / fN) / machine_speedup, 3)
+    out["frontier48_efficiency_vs_machine"] = round(
+        (f48_4N / f48N) / machine_speedup, 3
+    )
     out["metric"] = (
         f"frontier throughput scaling efficiency, local[{n}] -> local[{n4}] "
         f"(CPU-pinned; machine ceiling measured by calibration job)"

@@ -70,6 +70,7 @@ def test_gate_window_contract():
         "frontier_schedule",      # r5: composed round scheduler (gates+rank)
         "opic_priority",          # r5: unrolled-iteration OPIC twin
         "pagerank_scores",        # r5: unrolled-iteration PageRank twin
+        "link_hits",              # r5: unrolled-iteration HITS twin
     }
 
 

@@ -217,6 +217,7 @@ def hits(
     src: str = "src",
     dst: str = "dst",
     edges_distinct: bool = False,
+    round_dp: int = 9,
     tol: float | None = None,
     iters_out: list | None = None,
 ) -> DataFrame:
@@ -357,8 +358,8 @@ def hits(
     na = norms["na"] or 1.0
     return scored.select(
         "node",
-        F.round(F.col("hub") / F.lit(nh), 9).alias("hub"),
-        F.round(F.col("authority") / F.lit(na), 9).alias("authority"),
+        F.round(F.col("hub") / F.lit(nh), round_dp).alias("hub"),
+        F.round(F.col("authority") / F.lit(na), round_dp).alias("authority"),
     )
 
 
@@ -614,4 +615,64 @@ def opic_sql(links_cte: str, n_iter: int = 8, round_dp: int = 9) -> str:
                round((hist + cash) / {float(n_iter + 1)!r}::DOUBLE,
                      {round_dp}) AS importance
         FROM s{n_iter}
+    """
+
+
+def hits_sql(links_cte: str, n_iter: int = 4, round_dp: int = 9) -> str:
+    """Unrolled fixed-iteration HITS twin of :func:`hits`.
+
+    Same recipe as :func:`pagerank_sql` — one (auth, hub) MATERIALIZED
+    CTE pair per iteration, one extra authority update after the loop,
+    then L2 normalization restated as scalar subqueries over the scored
+    frame (the Spark side's driver-collected norms). Hub rides source
+    nodes only (identity-equal to all-node init, see :func:`hits`);
+    sink/pure-authority nodes rejoin with 0 in the final projection.
+    Precision: the unnormalized vectors grow like the dominant
+    eigenvalue^k, but both engines accumulate the SAME products in
+    different orders (~1 ulp relative drift per sum), and the final
+    normalized values are O(1/sqrt(n)) rounded at ``round_dp`` — the
+    same ~9-orders-of-headroom argument as the pagerank twin."""
+    parts = [_graph_setup_sql(links_cte)]
+    parts.append("""
+        h0 AS MATERIALIZED (
+            SELECT DISTINCT src AS node, 1.0::DOUBLE AS hub FROM e)
+    """)
+    for i in range(1, n_iter + 1):
+        p = i - 1
+        parts.append(f"""
+        a{i} AS MATERIALIZED (
+            SELECT e.dst AS node, sum(h.hub) AS authority
+            FROM e JOIN h{p} h ON e.src = h.node GROUP BY e.dst
+        ),
+        h{i} AS MATERIALIZED (
+            SELECT e.src AS node, sum(a.authority) AS hub
+            FROM e JOIN a{i} a ON e.dst = a.node GROUP BY e.src
+        )
+        """)
+    parts.append(f"""
+        afin AS MATERIALIZED (
+            SELECT e.dst AS node, sum(h.hub) AS authority
+            FROM e JOIN h{n_iter} h ON e.src = h.node GROUP BY e.dst
+        ),
+        scored AS MATERIALIZED (
+            SELECT n.node,
+                   coalesce(h.hub, 0.0::DOUBLE) AS hub,
+                   coalesce(a.authority, 0.0::DOUBLE) AS authority
+            FROM (SELECT node FROM nodes) n
+            LEFT JOIN h{n_iter} h ON n.node = h.node
+            LEFT JOIN afin a ON n.node = a.node
+        ),
+        norms AS MATERIALIZED (
+            SELECT sqrt(sum(hub * hub)) AS nh,
+                   sqrt(sum(authority * authority)) AS na
+            FROM scored
+        )
+    """)
+    body = ",".join(parts)
+    return f"""
+        WITH {body}
+        SELECT node,
+               round(hub / (SELECT nh FROM norms), {round_dp}) AS hub,
+               round(authority / (SELECT na FROM norms), {round_dp}) AS authority
+        FROM scored
     """

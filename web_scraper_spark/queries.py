@@ -210,10 +210,15 @@ def q_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_link_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs & authorities (operators/graphalgo.py::hits) over the
     directed customer→supplier purchase graph (lineitem ⋈ orders) — the
-    crawl-priority complement to dedup_centrality's PageRank. Rows-only:
-    iterative double arithmetic (numpy-twin equality, partition
-    invariance, and bipartite-star semantics asserted in
-    tests/test_graphalgo.py)."""
+    crawl-priority complement to dedup_centrality's PageRank.
+    VALUE-EXACT oracled (r5, the unrolled-iteration recipe): the fixed
+    4-iteration mutual-reinforcement loop + final L2 normalization
+    unroll into graphalgo.hits_sql's CTE chain; this purchase graph has
+    a wide spectral gap (residual ~3e-6 by iteration 4), and the
+    normalized values are O(1/sqrt n) rounded at 6 dp, ~9 orders above
+    the engines' summation-order drift. numpy-twin equality, partition
+    invariance, and bipartite-star semantics stay asserted in
+    tests/test_graphalgo.py."""
     from web_scraper_spark.operators import graphalgo as ga
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
@@ -231,7 +236,7 @@ def q_link_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     # before that; the wall is per-iteration JOB constants at toy SF
     # (the dedup_centrality lesson), so the registered query keeps the
     # iteration count at the knee
-    return ga.hits(edges, n_iter=4)
+    return ga.hits(edges, n_iter=4, round_dp=6)
 
 
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2589,6 +2594,15 @@ def oracle_sql() -> dict[str, str]:
         # r5: iterative link-analysis oracles (unrolled power iteration)
         "opic_priority": ga_mod.opic_sql(LINKS_CTE, n_iter=6, round_dp=6),
         "pagerank_scores": ga_mod.pagerank_sql(LINKS_CTE, n_iter=6, round_dp=6),
+        "link_hits": ga_mod.hits_sql(
+            """
+            SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                   's' || CAST(l_suppkey AS VARCHAR) AS dst
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            """,
+            n_iter=4,
+            round_dp=6,
+        ),
         "q3_shipping_priority": f"""
             SELECT l_orderkey, o_orderdate, o_orderpriority,
                    {an.dec_sum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
