@@ -71,6 +71,8 @@ def test_gate_window_contract():
         "opic_priority",          # r5: unrolled-iteration OPIC twin
         "pagerank_scores",        # r5: unrolled-iteration PageRank twin
         "link_hits",              # r5: unrolled-iteration HITS twin
+        "curation_disposition",   # r5: composed end-to-end pipeline twin
+        "incremental_dedup",      # r5: union-subset identity twin
     }
 
 

@@ -370,14 +370,19 @@ def stratified_sample(
     ).select("doc_id", "lang", "source", "samp_rank")
 
 
-def stratified_sample_sql(weights: dict[str, int] | None = None) -> str:
+def stratified_sample_sql(
+    weights: dict[str, int] | None = None, table: str = "documents"
+) -> str:
+    """``table`` may be any relation/CTE name carrying (doc_id, lang,
+    source) — the composed curation-disposition oracle points it at its
+    survivors CTE."""
     w = weights or MIX_WEIGHTS
     vals = ", ".join(f"('{k}', {v})" for k, v in sorted(w.items()))
     langs = ", ".join(f"'{k}'" for k in sorted(w))
     h = hash60_sql("doc_id::VARCHAR || ':mix'")
     return f"""
         WITH wt(lang, w) AS (VALUES {vals}),
-        c AS (SELECT lang, count(*) AS c FROM documents GROUP BY 1),
+        c AS (SELECT lang, count(*) AS c FROM {table} GROUP BY 1),
         caps AS (
             SELECT wt.lang, wt.w, coalesce(c.c, 0) * 100 // wt.w AS cap
             FROM wt LEFT JOIN c USING (lang)
@@ -390,7 +395,7 @@ def stratified_sample_sql(weights: dict[str, int] | None = None) -> str:
             SELECT doc_id, lang, source,
                    row_number() OVER (
                        PARTITION BY lang ORDER BY {h}, doc_id) AS samp_rank
-            FROM documents WHERE lang IN ({langs})
+            FROM {table} WHERE lang IN ({langs})
         )
         SELECT r.doc_id, r.lang, r.source, r.samp_rank::INT AS samp_rank
         FROM r JOIN q USING (lang)

@@ -448,12 +448,12 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental delta-vs-corpus near-dup (dd.delta_near_dups): docs with
     doc_id % 10 == 0 are the 'new batch', the rest the persisted corpus —
     only the delta is ever sketched; the corpus side enters as its
-    signature table. Rows-only REGISTRATION (the driver gate's 50-query
-    oracle window is full) but fully DuckDB-oracled in pytest:
-    tests/test_incremental.py asserts value-equality to
-    minhash_lsh_pairs_sql(documents) WHERE a delta doc participates, plus
-    equality to the minhash_lsh_pairs(union) subset and an
-    only-one-Arrow-pass plan shape."""
+    signature table. VALUE-EXACT oracled (r5): the operator's contract is
+    the union-subset identity, so the registry twin is
+    minhash_lsh_pairs_sql(documents) WHERE a delta doc participates;
+    tests/test_incremental.py additionally asserts equality to the
+    minhash_lsh_pairs(union) subset and an only-one-Arrow-pass plan
+    shape."""
     docs = _docs(spark, sf_dir)
     corpus_sk = dd.sketch_docs(docs.where(F.col("doc_id") % 10 != 0)).localCheckpoint(
         eager=True
@@ -502,9 +502,12 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lmod.lm_perplexity(_docs(spark, sf_dir))
 
 
-def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """THE full training-data pipeline as one DataFrame program — every
-    curation tier composed in production order, per-doc disposition out:
+def _curation_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared sub-plan: every RELATIONAL curation stage composed in
+    production order → (doc_id, lang, source, text, drop_reason), NULL
+    drop_reason = kept in the final mix. `q_curation_disposition`
+    projects this (value-exact oracled); `q_curation_pipeline` adds the
+    trained-BPE token budget on top (rows-only).
 
         quality gate (C4 heuristics, score ≥ 0.55)
         → LM perplexity filter (drop the 'tail' third — CCNet)
@@ -512,11 +515,6 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         → near-dup removal (MinHash-LSH clusters, keep representative)
         → stratified language mixing (integer quotas)
         → BPE token budget for the surviving mix
-
-    Output: doc_id, drop_reason (first failing stage, NULL = kept),
-    n_bpe_tokens (survivors only). Rows-only (composes the trained BPE
-    tier); per-stage consistency vs the individual oracled queries is
-    asserted in tests/test_curation_pipeline.py.
 
     Cost profile: wall ≈ Σ of the individually-benched stages (~20 s at
     sf0.1 — LM fit 4.7 + LSH 1.8 + clusters 3.8 + stratified 2.7 + BPE
@@ -526,7 +524,6 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from web_scraper_spark.operators.text import clean_text as _ct
-    from web_scraper_spark.pipeline import bpe as _bpe
 
     docs = _docs(spark, sf_dir)
     q = quality_columns("text")
@@ -579,6 +576,40 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(~F.coalesce(F.col("in_mix"), F.lit(False)), "not_sampled"),
         ).alias("drop_reason"),
     ).localCheckpoint(eager=True)  # referenced twice (kept + result join)
+    return final
+
+
+def q_curation_disposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation DISPOSITION — every relational stage of
+    the training-data pipeline composed in production order, value-exact
+    oracled (r5): quality gate (<0.55) → CCNet LM-perplexity tail drop →
+    exact dedup (content-hash keep-first) → MinHash-LSH near-dup removal
+    → stratified language mixing. Output (doc_id, drop_reason), NULL =
+    kept in the final mix.
+
+    The DuckDB twin (CURATION_DISPOSITION_SQL) composes the SAME oracle
+    bodies the individual stage queries use — lm_perplexity_sql,
+    exact-dup window, dedup_clusters_sql(minhash_lsh_pairs_sql),
+    stratified_sample_sql pointed at the survivors CTE — so the full
+    pipeline precedence, not just each stage, is under the value-exact
+    regime. Only the trained-BPE token budget stays rows-only (see
+    q_curation_pipeline)."""
+    return _curation_final(spark, sf_dir).select("doc_id", "drop_reason")
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE full training-data pipeline as one DataFrame program — the
+    composed disposition (see q_curation_disposition, value-exact
+    oracled) plus the trained-BPE token budget for the surviving mix.
+
+    Output: doc_id, drop_reason (first failing stage, NULL = kept),
+    n_bpe_tokens (survivors only). Rows-only (composes the trained BPE
+    tier); the relational prefix is oracled as curation_disposition and
+    per-stage consistency vs the individual oracled queries is asserted
+    in tests/test_curation_pipeline.py."""
+    from web_scraper_spark.pipeline import bpe as _bpe
+
+    final = _curation_final(spark, sf_dir)
     kept = final.filter(F.col("drop_reason").isNull()).select(
         "doc_id", "lang", "source", "text"
     )
@@ -587,6 +618,55 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         final.join(budget, on="doc_id", how="left")
         .select("doc_id", "drop_reason", "n_bpe_tokens")
     )
+
+
+def _curation_disposition_sql() -> str:
+    """DuckDB twin of q_curation_disposition: the stage oracle bodies
+    (each individually value-exact green) composed as subquery CTEs in
+    the pipeline's production precedence. stratified_sample_sql's
+    source is pointed at the survivors CTE — the one stage that runs on
+    a filtered frame rather than the full corpus."""
+    clusters = dd.dedup_clusters_sql(dd.minhash_lsh_pairs_sql("documents", tau=0.4))
+    lm = lmod.lm_perplexity_sql()
+    samp = cu.stratified_sample_sql(table="survivors")
+    norm = f"lower({clean_text_sql('text')})"
+    return f"""
+        WITH flags AS (
+            SELECT doc_id, lang, source, {_qsql["quality_score"]} AS qs
+            FROM documents
+        ),
+        lmb AS (SELECT doc_id, bucket FROM ({lm}) lmq),
+        ex AS (
+            SELECT doc_id,
+                   doc_id != min(doc_id) OVER (PARTITION BY md5({norm}))
+                       AS exact_dup
+            FROM documents
+        ),
+        near AS (
+            SELECT doc_id FROM ({clusters}) cl WHERE doc_id != cluster_id
+        ),
+        staged AS (
+            SELECT f.doc_id, f.lang, f.source,
+                   CASE WHEN f.qs < 0.55 THEN 'quality'
+                        WHEN coalesce(l.bucket, 'tail') = 'tail' THEN 'lm_tail'
+                        WHEN e.exact_dup THEN 'exact_dup'
+                        WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+                   END AS drop_reason
+            FROM flags f
+            JOIN ex e USING (doc_id)
+            LEFT JOIN lmb l USING (doc_id)
+            LEFT JOIN near n USING (doc_id)
+        ),
+        survivors AS (
+            SELECT doc_id, lang, source FROM staged WHERE drop_reason IS NULL
+        ),
+        samp AS (SELECT doc_id FROM ({samp}) sq)
+        SELECT s.doc_id,
+               coalesce(s.drop_reason,
+                        CASE WHEN m.doc_id IS NULL THEN 'not_sampled' END)
+                   AS drop_reason
+        FROM staged s LEFT JOIN samp m USING (doc_id)
+    """
 
 
 def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2508,6 +2588,7 @@ def queries() -> dict[str, QueryFn]:
         # (unrolled fixed-iteration DuckDB twins, graphalgo.*_sql)
         "opic_priority": q_opic_priority,
         "pagerank_scores": q_pagerank_scores,
+        "curation_disposition": q_curation_disposition,
     }
 
 
@@ -2800,6 +2881,16 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": dd.simhash_near_pairs_sql("documents", max_hamming=3),
         "embedding_near_pairs": dd.embedding_near_pairs_sql("embeddings", tau=0.28),
         "dedup_clusters": dd.dedup_clusters_sql(dd.minhash_lsh_pairs_sql("documents", tau=0.4)),
+        # r5: the composed end-to-end curation disposition (stage bodies
+        # reused; only the trained-BPE budget column stays rows-only)
+        "curation_disposition": _curation_disposition_sql(),
+        # r5: the incremental tier's contract IS the union-subset identity,
+        # so its oracle is the full-corpus pairs twin + delta-membership
+        # filter (promoted from tests/test_incremental.py's pytest oracle)
+        "incremental_dedup": (
+            f"SELECT * FROM ({dd.minhash_lsh_pairs_sql('documents', tau=0.4)}) u"
+            " WHERE doc_a % 10 = 0 OR doc_b % 10 = 0"
+        ),
         "corpus_filter": f"""
             WITH clusters AS ({dd.dedup_clusters_sql(dd.minhash_lsh_pairs_sql("documents", tau=0.4))}),
             drop_ids AS (SELECT doc_id FROM clusters WHERE doc_id != cluster_id)
