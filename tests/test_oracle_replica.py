@@ -73,6 +73,7 @@ def test_gate_window_contract():
         "link_hits",              # r5: unrolled-iteration HITS twin
         "curation_disposition",   # r5: composed end-to-end pipeline twin
         "incremental_dedup",      # r5: union-subset identity twin
+        "dedup_centrality",       # r5: labels + unrolled-pagerank argmax
     }
 
 

@@ -173,6 +173,7 @@ def cluster_representatives(
     label_col: str = "cluster_id",
     id_col: str = "doc_id",
     edges: DataFrame | None = None,
+    round_dp: int = 9,
 ) -> DataFrame:
     """Canonical representative per near-dup cluster: PageRank the
     UNDIRECTED pair graph (each pair contributes both directions) and keep
@@ -191,7 +192,7 @@ def cluster_representatives(
         ).unionByName(
             pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
         ).distinct()
-    pr = pagerank(edges, n_iter=n_iter, edges_distinct=True)
+    pr = pagerank(edges, n_iter=n_iter, edges_distinct=True, round_dp=round_dp)
     member = labels.select(
         F.col(id_col).alias("node"), F.col(label_col).alias("cluster")
     ).join(pr, on="node", how="left")
@@ -675,4 +676,45 @@ def hits_sql(links_cte: str, n_iter: int = 4, round_dp: int = 9) -> str:
                round(hub / (SELECT nh FROM norms), {round_dp}) AS hub,
                round(authority / (SELECT na FROM norms), {round_dp}) AS authority
         FROM scored
+    """
+
+
+def cluster_representatives_sql(
+    pairs_cte: str, n_iter: int = 10, round_dp: int = 9
+) -> str:
+    """DuckDB twin of :func:`cluster_representatives` — the same two
+    already-proven recipes composed over ONE materialized pair frame:
+    connected-component labels via the recursive min-reachable CTE
+    (dedup.dedup_clusters_sql) and the unrolled fixed-iteration
+    :func:`pagerank_sql` over the undirected edge union, then the
+    per-cluster argmax window (rank DESC NULLS LAST, node ASC — tie
+    order is decided on values both engines agree on at ``round_dp``)."""
+    from web_scraper_spark.operators.dedup import dedup_clusters_sql
+
+    pr = pagerank_sql("SELECT src, dst FROM und", n_iter=n_iter, round_dp=round_dp)
+    cl = dedup_clusters_sql("SELECT * FROM lshp")
+    return f"""
+        WITH lshp AS MATERIALIZED ({pairs_cte}),
+        und AS MATERIALIZED (
+            SELECT doc_a AS src, doc_b AS dst FROM lshp
+            UNION ALL
+            SELECT doc_b AS src, doc_a AS dst FROM lshp
+        ),
+        pr AS MATERIALIZED (SELECT * FROM ({pr}) p),
+        cl AS MATERIALIZED (SELECT * FROM ({cl}) c),
+        member AS (
+            SELECT cl.doc_id AS node, cl.cluster_id AS cluster, pr.rank
+            FROM cl LEFT JOIN pr ON pr.node = cl.doc_id
+        ),
+        ranked AS (
+            SELECT cluster, node, rank,
+                   row_number() OVER (
+                       PARTITION BY cluster
+                       ORDER BY rank DESC NULLS LAST, node ASC) AS rn,
+                   count(*) OVER (PARTITION BY cluster) AS n_members
+            FROM member
+        )
+        SELECT cluster, node AS rep_doc_id, rank AS rep_rank,
+               n_members::BIGINT AS n_members
+        FROM ranked WHERE rn = 1
     """

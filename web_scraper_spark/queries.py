@@ -300,8 +300,13 @@ def q_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical representative per near-dup cluster: PageRank the
     MinHash-LSH pair graph, keep each cluster's highest-centrality member
-    (operators/graphalgo.py). Rows-only: iterative double arithmetic
-    (equality-to-numpy power iteration asserted in tests/test_graphalgo.py)."""
+    (operators/graphalgo.py). VALUE-EXACT oracled (r5):
+    graphalgo.cluster_representatives_sql composes the recursive
+    min-reachable label CTE with the unrolled fixed-iteration pagerank
+    twin over ONE materialized pair frame; ranks rounded at 6 dp (the
+    proven pagerank_scores headroom), so the per-cluster argmax window
+    ties identically on both engines. The equality-to-numpy power
+    iteration stays asserted in tests/test_graphalgo.py."""
     from web_scraper_spark.operators import graphalgo as ga
 
     pairs = dd.minhash_lsh_pairs(_docs(spark, sf_dir), tau=0.4)
@@ -313,7 +318,9 @@ def q_dedup_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 6 iterations: representative ORDER stabilizes far earlier than rank
     # values converge (the argmax is decided by degree structure within a
     # cluster); pagerank-value exactness keeps its own 10-iter numpy test
-    return ga.cluster_representatives(pairs, labels, n_iter=6, edges=edges)
+    return ga.cluster_representatives(
+        pairs, labels, n_iter=6, edges=edges, round_dp=6
+    )
 
 
 def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2890,6 +2897,11 @@ def oracle_sql() -> dict[str, str]:
         "incremental_dedup": (
             f"SELECT * FROM ({dd.minhash_lsh_pairs_sql('documents', tau=0.4)}) u"
             " WHERE doc_a % 10 = 0 OR doc_b % 10 = 0"
+        ),
+        # r5: cluster labels (recursive CTE) + unrolled pagerank composed
+        # over one materialized LSH pair frame, then the argmax window
+        "dedup_centrality": ga_mod.cluster_representatives_sql(
+            dd.minhash_lsh_pairs_sql("documents", tau=0.4), n_iter=6, round_dp=6
         ),
         "corpus_filter": f"""
             WITH clusters AS ({dd.dedup_clusters_sql(dd.minhash_lsh_pairs_sql("documents", tau=0.4))}),
