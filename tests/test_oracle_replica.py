@@ -74,6 +74,7 @@ def test_gate_window_contract():
         "curation_disposition",   # r5: composed end-to-end pipeline twin
         "incremental_dedup",      # r5: union-subset identity twin
         "dedup_centrality",       # r5: labels + unrolled-pagerank argmax
+        "robots_parse",           # r5: robotparser group machine as windows
     }
 
 

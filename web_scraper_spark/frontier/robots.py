@@ -150,3 +150,165 @@ def render_robots_txt(
         lines.append(f"Crawl-delay: {delay}")
     lines.extend(f"Disallow: {p}" for p in disallow)
     return "\n".join(lines) + "\n"
+
+
+# ---------------------------------------------------------------------------
+# Grammar-edge fixture + DuckDB twin (value-exact oracle)
+# ---------------------------------------------------------------------------
+
+#: Deterministic grammar-edge bodies shared by q_robots_parse and its
+#: DuckDB twin: multi-agent groups, inline comments, empty Disallow,
+#: blank-line group closing (rules after a close are ignored), an
+#: agents-only group that must be DISCARDED, an unparsable Crawl-delay
+#: value, rule lines before any User-agent (state-0 preamble), a
+#: colon-less junk line, and a specific-agent-only host that falls back
+#: to defaults for agent '*'.
+ROBOTS_GRAMMAR_EDGES: list[tuple[str, str]] = [
+    (
+        "edge.example",
+        "# edge grammar\nUser-agent: alphabot\nUser-agent: betabot\n"
+        "Disallow: /x  # inline\nCrawl-delay: 4\nUser-agent: *\n"
+        "Disallow:\nDisallow: /private\n",
+    ),
+    (
+        "blank.example",
+        "User-agent: *\nDisallow: /a\n\nDisallow: /after-close\n"
+        "User-agent: *\nDisallow: /second-star\n",
+    ),
+    (
+        "discard.example",
+        "User-agent: lonelybot\n\nUser-agent: *\nCrawl-delay: nine\n"
+        "Crawl-delay: 3.5\nDisallow: /q\nUnknown: zz\nDisallow: /r\n",
+    ),
+    (
+        "preamble.example",
+        "Disallow: /ignored\nno colon junk line\nUser-agent: *\nDisallow: /ok\n",
+    ),
+    ("agentsonly.example", "User-agent: *\n"),
+    ("nostar.example", "User-agent: somebot\nDisallow: /s\n"),
+]
+
+
+def _sql_str(s: str) -> str:
+    """DuckDB escape-string literal for a robots body (newlines kept)."""
+    return "e'" + s.replace("\\", "\\\\").replace("'", "''").replace("\n", "\\n") + "'"
+
+
+def robots_parse_sql(
+    bodies: list[tuple[str, str]], agent: str = "*", default_delay: float = 1.0
+) -> str:
+    """DuckDB twin of ``parse_robots_txt`` + the explode in q_robots_parse:
+    the urllib.robotparser group state machine restated as ONE pass of
+    window functions — no recursion needed, because every transition is a
+    function of (line type, previous line type):
+
+    - a ``User-agent`` line opens a NEW group iff the previous
+      significant line was a rule or a blank (or start-of-file); group id
+      is the running sum of that flag;
+    - a blank line CLOSES the current group: lines at or past the group's
+      first blank are dead (state-0 in the Python machine), which also
+      discards agents-only groups (no rule line survives → not committed);
+    - unknown keys and colon-less lines never change state → dropped
+      before the lag;
+    - ``Crawl-delay`` keeps the LAST parseable value in the live region
+      (``max_by(..., ln)`` + ``try_cast``), empty ``Disallow:`` adds no
+      prefix but still commits the group;
+    - group choice mirrors robotparser's two passes: first group whose
+      lowered agent is a substring of the agent key and which does NOT
+      list ``*``, else the first ``*`` group.
+
+    The body set is embedded as literals (it is the same deterministic
+    fixture the Spark query parses — the PARSER is what each engine
+    implements independently). Path normalization (quote∘unquote) is the
+    identity on every fixture path; percent-form equivalence is covered
+    by tests/test_robots.py's robotparser-equality suite, the same split
+    as urls.py's canon twin. Output: (host, crawl_delay, disallow_prefix),
+    one row per prefix, NULL when unrestricted."""
+    agent_key = agent.split("/")[0].lower()
+    values = ",\n        ".join(
+        f"({_sql_str(h)}, {_sql_str(b)})" for h, b in bodies
+    )
+    return f"""
+    WITH bodies(host, robots_txt) AS (VALUES
+        {values}),
+    raw_lines AS (
+        SELECT host,
+               generate_subscripts(l, 1) AS ln,
+               unnest(l) AS raw
+        FROM (SELECT host,
+                     regexp_split_to_array(coalesce(robots_txt, ''),
+                                           '\\r\\n|\\r|\\n') AS l
+              FROM bodies)
+    ),
+    typed AS (
+        SELECT host, ln,
+               lower(trim(split_part(trim(split_part(raw, '#', 1)), ':', 1))) AS key,
+               trim(substr(trim(split_part(raw, '#', 1)),
+                    strpos(trim(split_part(raw, '#', 1)), ':') + 1)) AS val,
+               CASE
+                 WHEN trim(split_part(raw, '#', 1)) = '' THEN 'B'
+                 WHEN strpos(trim(split_part(raw, '#', 1)), ':') = 0 THEN NULL
+                 WHEN lower(trim(split_part(trim(split_part(raw, '#', 1)), ':', 1)))
+                      = 'user-agent' THEN 'U'
+                 WHEN lower(trim(split_part(trim(split_part(raw, '#', 1)), ':', 1)))
+                      IN ('disallow', 'allow', 'crawl-delay') THEN 'R'
+                 ELSE NULL
+               END AS type
+        FROM raw_lines
+    ),
+    seq AS (
+        SELECT host, ln, type, key, val,
+               lag(type) OVER (PARTITION BY host ORDER BY ln) AS prev_type
+        FROM typed WHERE type IS NOT NULL
+    ),
+    grouped AS (
+        SELECT host, ln, type, key, val,
+               sum(CASE WHEN type = 'U'
+                             AND (prev_type IS NULL OR prev_type IN ('R', 'B'))
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY host ORDER BY ln
+                         ROWS UNBOUNDED PRECEDING) AS gid
+        FROM seq
+    ),
+    valid AS (
+        SELECT g.* FROM grouped g
+        WHERE g.gid > 0
+          AND g.ln < coalesce((SELECT min(ln) FROM grouped b
+                               WHERE b.host = g.host AND b.gid = g.gid
+                                 AND b.type = 'B'),
+                              9223372036854775807)
+    ),
+    groups AS (
+        SELECT host, gid,
+               list(val ORDER BY ln) FILTER (WHERE type = 'U') AS agents,
+               list(val ORDER BY ln)
+                   FILTER (WHERE type = 'R' AND key = 'disallow'
+                           AND val <> '') AS disallow,
+               max_by(try_cast(val AS DOUBLE), ln)
+                   FILTER (WHERE type = 'R' AND key = 'crawl-delay'
+                           AND try_cast(val AS DOUBLE) IS NOT NULL) AS delay,
+               bool_or(type = 'R') AS has_rule
+        FROM valid
+        GROUP BY host, gid
+    ),
+    chosen AS (
+        SELECT host, gid, delay, disallow,
+               row_number() OVER (
+                 PARTITION BY host
+                 ORDER BY (NOT list_contains(agents, '*')) DESC, gid
+               ) AS pick
+        FROM groups
+        WHERE has_rule
+          AND (list_contains(agents, '*')
+               OR (NOT list_contains(agents, '*')
+                   AND len(list_filter(agents,
+                           a -> strpos({_sql_str(agent_key)}, lower(a)) > 0)) > 0))
+    )
+    SELECT b.host,
+           coalesce(c.delay, {default_delay}) AS crawl_delay,
+           u.p AS disallow_prefix
+    FROM bodies b
+    LEFT JOIN (SELECT * FROM chosen WHERE pick = 1) c ON b.host = c.host
+    LEFT JOIN LATERAL unnest(c.disallow) AS u(p) ON true
+    ORDER BY b.host, disallow_prefix
+    """

@@ -34,6 +34,7 @@ from web_scraper_spark.frontier import health as hl_mod
 from web_scraper_spark.frontier import redirects as rd_mod
 from web_scraper_spark.frontier import schedule as sch_mod
 from web_scraper_spark.frontier import traps as tr
+from web_scraper_spark.frontier import robots as rb_mod
 from web_scraper_spark.operators import graphalgo as ga_mod
 from web_scraper_spark.sources import warc as wa
 from web_scraper_spark.operators import phrase as ph
@@ -2105,26 +2106,47 @@ def q_word_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _robots_oracle_bodies() -> list[tuple[str, str]]:
+    """The deterministic (host, robots_txt) fixture both engines parse:
+    the synth hosts' rendered bodies + the grammar-edge set (see
+    frontier/robots.py::ROBOTS_GRAMMAR_EDGES)."""
+    from web_scraper_spark.frontier.robots import (
+        ROBOTS_GRAMMAR_EDGES,
+        render_robots_txt,
+    )
+    from web_scraper_spark.synth.sitegen import SiteConfig
+
+    cfg = SiteConfig()
+    rows = []
+    for source, base in cfg.hosts.items():
+        rows.append(
+            (
+                base.split("//", 1)[1],
+                render_robots_txt(
+                    float(cfg.crawl_delay[source]),
+                    list(cfg.robots_disallow[source]),
+                ),
+            )
+        )
+    return rows + list(ROBOTS_GRAMMAR_EDGES)
+
+
 def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw per-host robots.txt bodies → politeness rules (host,
     crawl_delay, one row per disallow prefix). The north-star's
-    "robots.txt rules" step from actual bytes: synth hosts' bodies plus a
-    grammar-edge file (multi-agent group, comment, empty Disallow,
-    User-agent after rules). Rows-only: the group line-machine is
-    urllib.robotparser's, equality-tested against it in
-    tests/test_robots.py — not SQL-expressible without reimplementing the
-    state machine in a recursive CTE."""
+    "robots.txt rules" step from actual bytes: synth hosts' bodies plus
+    grammar-edge files (multi-agent groups, comments, empty Disallow,
+    blank-line group closing, agents-only discard, unparsable
+    Crawl-delay, state-0 preambles, junk lines, specific-agent-only
+    hosts). VALUE-EXACT oracled (r5): the urllib.robotparser group
+    machine restates as one window-function pass in DuckDB
+    (robots.py::robots_parse_sql — group id = running sum of
+    group-opening flags, liveness = before the group's first blank);
+    robotparser-decision equality stays in tests/test_robots.py."""
     from web_scraper_spark.frontier.robots import parse_robots_txt
-    from web_scraper_spark.synth.sitegen import SiteConfig, build_robots_txt_df
 
-    edge = (
-        "edge.example",
-        "# edge grammar\nUser-agent: alphabot\nUser-agent: betabot\n"
-        "Disallow: /x  # inline\nCrawl-delay: 4\nUser-agent: *\n"
-        "Disallow:\nDisallow: /private\n",
-    )
-    bodies = build_robots_txt_df(spark, SiteConfig()).unionByName(
-        spark.createDataFrame([edge], "host string, robots_txt string")
+    bodies = spark.createDataFrame(
+        _robots_oracle_bodies(), "host string, robots_txt string"
     )
     rules = parse_robots_txt(bodies, default_delay=1.0)
     return (
@@ -2937,6 +2959,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(DISTINCT event_id) AS n_unique
             FROM events GROUP BY 1
         """,
+        # r5: urllib.robotparser's group state machine as one
+        # window-function pass (no recursion) over the shared body fixture
+        "robots_parse": rb_mod.robots_parse_sql(
+            _robots_oracle_bodies(), default_delay=1.0
+        ),
         # ner_entities / sessionize_stream / crawl_fetch_log / lda_topics:
         # UDF-stateful / ML — rows-only by design
     }
