@@ -75,6 +75,8 @@ def test_gate_window_contract():
         "incremental_dedup",      # r5: union-subset identity twin
         "dedup_centrality",       # r5: labels + unrolled-pagerank argmax
         "robots_parse",           # r5: robotparser group machine as windows
+        "ann_topk_blocked",       # r5: BLAS candidates + fold-exact verify
+        "near_pairs_blocked",     # r5: block-pair BLAS + fold-exact verify
     }
 
 

@@ -76,16 +76,22 @@ def brute_topk_sql(table: str = "embeddings", n_queries: int = 5, k: int = 10) -
 
 
 def brute_topk_blocked(emb: DataFrame, n_queries: int = 5, k: int = 10) -> DataFrame:
-    """numpy block-matmul fast path for exact top-k.
+    """numpy block-matmul fast path for exact top-k, fold-exact verified.
 
     The expression-fold cosine (brute_topk) evaluates 64 multiply-adds per
-    pair inside codegen — correct but scalar. This path broadcasts the
-    (tiny) normalized query matrix into an Arrow mapInPandas stage and
-    computes Q @ X_block.T per record batch with BLAS, emitting only each
-    batch's local top-k; a final window takes the global top-k over the
-    (batches x q x k)-bounded candidate set. ~50-100x the fold's
-    throughput at identical results (modulo float summation order — hence
-    registered rows-only, with equality-to-brute asserted in tests at 1e-6).
+    pair inside codegen — correct but scalar. Stage 1 broadcasts the (tiny)
+    normalized query matrix into an Arrow mapInPandas stage and computes
+    Q @ X_block.T per record batch with BLAS, emitting each batch's local
+    top-k CANDIDATE ids with a tie margin: every neighbor within 2e-6 of
+    the batch's kth BLAS score. The margin dominates both the BLAS-vs-fold
+    reordering error (~1e-13) and the 6-dp rounding step (5e-7), so any
+    neighbor that could outrank the kth under the fold's rounded score is
+    retained. Stage 2 re-scores the (batches x q x ~k)-bounded candidate
+    set with the sequential fold expression (cosine_expr) and takes the
+    global top-k — emitted values are bit-identical to brute_topk, so the
+    same DuckDB oracle (brute_topk_sql) verifies this path value-exactly.
+    ~50-100x the all-pairs fold's throughput: the O(n*q) arithmetic runs in
+    BLAS; the fold only touches the candidate sliver.
     """
     import numpy as np
     from pyspark.sql import Window
@@ -99,6 +105,7 @@ def brute_topk_blocked(emb: DataFrame, n_queries: int = 5, k: int = 10) -> DataF
     q_ids = np.array([r["vec_id"] for r in q_rows])
     Q = np.array([r["v"] for r in q_rows])
     Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    margin = 2e-6
 
     def batches(it):
         import pandas as pd
@@ -112,20 +119,39 @@ def brute_topk_blocked(emb: DataFrame, n_queries: int = 5, k: int = 10) -> DataF
             for qi, qid in enumerate(q_ids):
                 row = sims[qi]
                 mask = ids != qid
-                cand_idx = np.argsort(-row[mask])[:k]
-                cids = ids[mask][cand_idx]
-                for cid, s in zip(cids, row[mask][cand_idx]):
-                    out.append((int(qid), int(cid), round(float(s), 6)))
-            yield pd.DataFrame(out, columns=["query_id", "neighbor_id", "cos_sim"])
+                cand_sims = row[mask]
+                cand_ids = ids[mask]
+                if len(cand_sims) == 0:
+                    continue
+                if len(cand_sims) > k:
+                    kth = np.partition(cand_sims, -k)[-k]
+                    keep = cand_sims >= kth - margin
+                    cand_ids = cand_ids[keep]
+                for cid in cand_ids:
+                    out.append((int(qid), int(cid)))
+            yield pd.DataFrame(out, columns=["query_id", "neighbor_id"])
 
-    local = emb.select("vec_id", "embedding").mapInPandas(
-        batches, schema="query_id bigint, neighbor_id bigint, cos_sim double"
+    cand = emb.select("vec_id", "embedding").mapInPandas(
+        batches, schema="query_id bigint, neighbor_id bigint"
+    )
+    qv = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    cv = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("cos_sim", cosine_expr(F.col("qv"), F.col("cv")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
     return (
-        local.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
     )

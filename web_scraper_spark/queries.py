@@ -484,8 +484,9 @@ def q_ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """numpy block-matmul exact top-k (rows-only: BLAS summation order);
-    equality with the fold-based ann_brute_topk asserted in tests."""
+    """numpy block-matmul exact top-k with fold-exact re-verify of the
+    bounded candidate set — value-exact against the same DuckDB oracle as
+    ann_brute_topk (brute_topk_sql); equality also asserted in tests."""
     return sim.brute_topk_blocked(_emb(spark, sf_dir), n_queries=5, k=10)
 
 
@@ -701,8 +702,9 @@ def q_near_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked exact cosine pairs at a tighter threshold (tau 0.35) via
     the distributed block-pair plan — r1's version collected the whole
     corpus matrix to the driver (flagged as a scale-killer); this one
-    ships per-block matrices executor-to-executor only. Rows-only slot
-    (past the gate window); fold-equality covered in tests."""
+    ships per-block matrices executor-to-executor only. The stage-2
+    fold re-verify makes values bit-identical to the all-pairs oracle
+    (embedding_near_pairs_sql at tau 0.35) — value-exact oracled."""
     return sim.near_pairs_exact_blocked(_emb(spark, sf_dir), tau=0.35, n_blocks=8)
 
 
@@ -2939,6 +2941,10 @@ def oracle_sql() -> dict[str, str]:
         # similarity
         "ann_brute_topk": sim.brute_topk_sql("embeddings", n_queries=5, k=10),
         "ann_lsh_pairs": sim.lsh_ann_pairs_sql("embeddings", tau=0.25, n_tables=2),
+        # the blocked-BLAS paths re-verify candidates with the sequential
+        # fold (cosine_expr), so the exact all-pairs oracles apply verbatim
+        "ann_topk_blocked": sim.brute_topk_sql("embeddings", n_queries=5, k=10),
+        "near_pairs_blocked": dd.embedding_near_pairs_sql("embeddings", tau=0.35),
         # multimodal
         "media_stats": mm.media_stats_sql(),
         "media_features": MEDIA_FEATURES_SQL,
