@@ -252,6 +252,26 @@ def test_ivf_topk_recall_vs_brute(spark, sf_dir):
     assert len(part & brute) / len(brute) >= 0.5
 
 
+def test_ivf_sampled_full_probe_is_exact(spark, sf_dir):
+    # n_probe = n_cells degenerates to brute force regardless of how the
+    # sampled centroids fall — full-rank equality, values included (both
+    # paths score with the same fold)
+    from web_scraper_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    brute = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cos_sim"]) for r in
+             sim.brute_topk(emb, n_queries=3, k=5).collect()}
+    full = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cos_sim"]) for r in
+            sim.ivf_sampled_topk(emb, n_queries=3, k=5, n_cells=8, n_probe=8).collect()}
+    assert full == brute
+    # partial probe: bounded loss (sampled centroids are unoptimized, so
+    # the floor sits below the Lloyd-trained quantizer's at equal probe)
+    part = {(r["query_id"], r["neighbor_id"]) for r in
+            sim.ivf_sampled_topk(emb, n_queries=3, k=5, n_cells=8, n_probe=4).collect()}
+    brute_ids = {(q, n) for (q, _), (n, _) in brute.items()}
+    assert len(part & brute_ids) / len(brute_ids) >= 0.3
+
+
 def test_ivf_probe_from_persisted_index(spark, sf_dir, tmp_path):
     """build once → write partitionBy(cell) → probe from parquet: results
     equal the in-session composition, k-means never refits, and the scan

@@ -460,6 +460,187 @@ def ivf_topk(
     return ivf_probe(assigned, centroids, queries, k=k, n_probe=n_probe)
 
 
+def dist2_expr(a, b):
+    """Squared L2 distance of two array<double> columns as the same
+    explicit left-to-right fold as cosine_expr — IEEE-identical in both
+    engines (no rounding: only used for argmin comparisons, where the
+    inputs are bit-identical so the comparisons agree)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def dist2_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, len({a})), "
+        f"i -> (({a})[i]::DOUBLE - ({b})[i]::DOUBLE) * (({a})[i]::DOUBLE - ({b})[i]::DOUBLE)))"
+    )
+
+
+def ivf_sampled_topk(
+    emb: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k with a SAMPLED coarse quantizer — the fully
+    relational, value-exact-oracle variant of ivf_topk.
+
+    The quantizer is the FAISS sampled-init form with zero Lloyd steps:
+    the ``n_cells`` centroids are the corpus vectors whose
+    hash60('ivfc:' || vec_id) ranks smallest (a deterministic uniform
+    sample; cell id = rank among the seeds). Because centroids are EXACT
+    COPIES of data vectors and every distance is the sequential fold
+    (dist2_expr), cell assignment, probe selection and final scores are
+    bit-identical in Spark and DuckDB — the whole index build + probe is
+    one SQL expression (ivf_sampled_topk_sql), unlike the Lloyd-trained
+    ivf_topk whose float centroid MEANS are summation-order dependent.
+    Recall is below the trained quantizer's at equal n_probe (centroids
+    aren't optimized), standard for sampled-init IVF; raise n_probe to
+    compensate — n_probe = n_cells degenerates to exact brute force.
+
+    Scale shape: identical to ivf_topk — assignment is a broadcast join
+    against ``n_cells`` rows with a map-side-combinable min(struct) argmin
+    (no window, no shuffle of the vectors beyond the one groupBy), and
+    the probed join touches n_probe/n_cells of the corpus.
+    """
+    from web_scraper_spark.operators.hashing import hash60
+
+    seed_rows = (
+        emb.select(
+            "vec_id",
+            hash60(F.concat(F.lit("ivfc:"), F.col("vec_id").cast("string"))).alias("h"),
+        )
+        .orderBy("h", "vec_id")  # TakeOrderedAndProject: distributed partial top-k
+        .limit(n_cells)
+        .collect()  # n_cells rows — metadata-sized, like the politeness host list
+    )
+    cell_of = {
+        int(r["vec_id"]): i
+        for i, r in enumerate(sorted(seed_rows, key=lambda r: (r["h"], r["vec_id"])))
+    }
+    cell_map = F.create_map(
+        *[x for vid, c in cell_of.items() for x in (F.lit(vid), F.lit(c))]
+    )
+    cent = (
+        emb.where(F.col("vec_id").isin(*cell_of.keys()))
+        .select(
+            cell_map[F.col("vec_id")].alias("cell"),
+            F.col("embedding").cast("array<double>").alias("cv"),
+        )
+    )
+    pts = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    dists = (
+        pts.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "cell",
+            dist2_expr(F.col("v"), F.col("cv")).alias("dist2"),
+        )
+    )
+    assigned = (
+        dists.groupBy("vec_id")
+        .agg(F.min(F.struct("dist2", "cell")).alias("m"))
+        .select("vec_id", F.col("m.cell").alias("cell"))
+    )
+    wq = Window.partitionBy("vec_id").orderBy("dist2", "cell")
+    probe = (
+        dists.where(F.col("vec_id") < n_queries)
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= n_probe)
+        .select(F.col("vec_id").alias("query_id"), "cell")
+    )
+    cand = (
+        probe.join(assigned, "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    qv = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    cv = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("nv"),
+    )
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("cos_sim", cosine_expr(F.col("qv"), F.col("nv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def ivf_sampled_topk_sql(
+    table: str = "embeddings",
+    n_queries: int = 5,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> str:
+    from web_scraper_spark.operators.hashing import hash60_sql
+
+    h = hash60_sql("'ivfc:' || vec_id::VARCHAR")
+    d = dist2_sql("e.embedding", "c.cv")
+    cos = cosine_sql("q.embedding", "n.embedding")
+    return f"""
+        WITH seeds AS (
+            SELECT vec_id, {h} AS h FROM {table}
+            ORDER BY h, vec_id LIMIT {n_cells}
+        ),
+        cent AS (
+            SELECT row_number() OVER (ORDER BY s.h, s.vec_id) - 1 AS cell,
+                   e.embedding AS cv
+            FROM seeds s JOIN {table} e USING (vec_id)
+        ),
+        dists AS (
+            SELECT e.vec_id, c.cell, {d} AS dist2
+            FROM {table} e CROSS JOIN cent c
+        ),
+        assigned AS (
+            SELECT vec_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cell) AS rn
+                FROM dists
+            ) WHERE rn = 1
+        ),
+        probe AS (
+            SELECT vec_id AS query_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cell) AS rn
+                FROM dists WHERE vec_id < {n_queries}
+            ) WHERE rn <= {n_probe}
+        ),
+        cand AS (
+            SELECT p.query_id, a.vec_id AS neighbor_id
+            FROM probe p JOIN assigned a USING (cell)
+            WHERE a.vec_id != p.query_id
+        ),
+        scored AS (
+            SELECT cand.query_id, cand.neighbor_id, {cos} AS cos_sim
+            FROM cand
+            JOIN {table} q ON q.vec_id = cand.query_id
+            JOIN {table} n ON n.vec_id = cand.neighbor_id
+        )
+        SELECT query_id, neighbor_id, cos_sim, rank::INT AS rank FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+            ) AS rank
+            FROM scored
+        ) WHERE rank <= {k}
+    """
+
+
 def lsh_ann_pairs(
     emb: DataFrame, tau: float = 0.9, n_tables: int = 2, max_bucket: int = 64
 ) -> DataFrame:

@@ -496,6 +496,19 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(_emb(spark, sf_dir), n_queries=5, k=10, n_cells=16, n_probe=4)
 
 
+def q_ann_ivf_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with the hash-SAMPLED coarse quantizer (FAISS sampled-init
+    form, zero Lloyd steps): centroids are exact corpus vectors chosen by
+    hash60 rank, so the entire index build + probe is relational and
+    value-exact DuckDB-oracled (similarity.ivf_sampled_topk_sql) — the
+    oracled twin of the Lloyd-trained ann_ivf_topk, whose float centroid
+    means are summation-order dependent. Recall vs brute and cross-engine
+    equality asserted in tests."""
+    return sim.ivf_sampled_topk(
+        _emb(spark, sf_dir), n_queries=5, k=10, n_cells=16, n_probe=6
+    )
+
+
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: k-means the embeddings (the IVF quantizer fit, reused),
     then earlier-wins near-duplicate prune within each cluster — rows-only
@@ -2620,6 +2633,7 @@ def queries() -> dict[str, QueryFn]:
         "opic_priority": q_opic_priority,
         "pagerank_scores": q_pagerank_scores,
         "curation_disposition": q_curation_disposition,
+        "ann_ivf_sampled": q_ann_ivf_sampled,
     }
 
 
@@ -2969,6 +2983,11 @@ def oracle_sql() -> dict[str, str]:
         # window-function pass (no recursion) over the shared body fixture
         "robots_parse": rb_mod.robots_parse_sql(
             _robots_oracle_bodies(), default_delay=1.0
+        ),
+        # r5: the ENTIRE IVF path — sampled coarse quantizer, cell
+        # assignment, probe, exact rescoring — as one SQL expression
+        "ann_ivf_sampled": sim.ivf_sampled_topk_sql(
+            "embeddings", n_queries=5, k=10, n_cells=16, n_probe=6
         ),
         # ner_entities / sessionize_stream / crawl_fetch_log / lda_topics:
         # UDF-stateful / ML — rows-only by design
