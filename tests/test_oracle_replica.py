@@ -78,6 +78,7 @@ def test_gate_window_contract():
         "ann_topk_blocked",       # r5: BLAS candidates + fold-exact verify
         "near_pairs_blocked",     # r5: block-pair BLAS + fold-exact verify
         "ann_ivf_sampled",        # r5: sampled-quantizer IVF, fully relational
+        "semdedup_sampled",       # r5: relational SemDeDup, sampled quantizer
     }
 
 

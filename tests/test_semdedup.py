@@ -116,3 +116,44 @@ def test_semdedup_end_to_end_drops_planted_dups(spark):
     assert len(dropped_copies) == 10
     for v in dropped_copies:
         assert rows[v]["max_prior_sim"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_semdedup_sampled_matches_within_on_same_assignment(spark):
+    # same earlier-wins rule, different arithmetic path: given the SAME
+    # cell assignment, the relational fold form must agree with the BLAS
+    # semdedup_within on kept flags and on max_prior_sim to 1e-5 (fold
+    # rounds then maxes; BLAS maxes then rounds)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    assigned = sim.sampled_cells(emb, n_cells=8)
+    arrs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("arr")
+    )
+    blas = {
+        r["vec_id"]: r
+        for r in sim.semdedup_within(
+            assigned.join(arrs, "vec_id"), eps=0.35
+        ).collect()
+    }
+    rel = {
+        r["vec_id"]: r for r in sim.semdedup_sampled(emb, n_cells=8, eps=0.35).collect()
+    }
+    assert blas.keys() == rel.keys()
+    for vid in blas:
+        assert blas[vid]["cell"] == rel[vid]["cell"]
+        assert blas[vid]["kept"] == rel[vid]["kept"]
+        assert blas[vid]["max_prior_sim"] == pytest.approx(
+            rel[vid]["max_prior_sim"], abs=1e-5
+        )
+
+
+def test_semdedup_sampled_drops_planted_copies(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    copies = emb.where(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    out = sim.semdedup_sampled(emb.unionByName(copies), n_cells=8, eps=EPS)
+    rows = {r["vec_id"]: r for r in out.collect()}
+    dropped = [v for v in rows if v >= 100000 and not rows[v]["kept"]]
+    assert len(dropped) == 10
+    for v in dropped:
+        assert rows[v]["max_prior_sim"] == pytest.approx(1.0, abs=1e-6)

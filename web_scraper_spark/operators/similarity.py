@@ -479,6 +479,90 @@ def dist2_sql(a: str, b: str) -> str:
     )
 
 
+def sampled_centroids(emb: DataFrame, n_cells: int = 16) -> DataFrame:
+    """The hash-sampled coarse quantizer's centroid table ``(cell, cv)``:
+    the ``n_cells`` corpus vectors whose hash60('ivfc:' || vec_id) ranks
+    smallest (deterministic uniform sample, FAISS sampled-init form with
+    zero Lloyd steps; cell id = rank among the seeds). Centroids are
+    EXACT COPIES of data vectors, so everything downstream is
+    relational and engine-portable — see sampled_cells_sql_cte for the
+    DuckDB twin of the whole assignment. The seed pick is
+    TakeOrderedAndProject (distributed partial top-k) + an
+    n_cells-row collect (metadata-sized, like the politeness host
+    list)."""
+    from web_scraper_spark.operators.hashing import hash60
+
+    seed_rows = (
+        emb.select(
+            "vec_id",
+            hash60(F.concat(F.lit("ivfc:"), F.col("vec_id").cast("string"))).alias("h"),
+        )
+        .orderBy("h", "vec_id")
+        .limit(n_cells)
+        .collect()
+    )
+    cell_of = {
+        int(r["vec_id"]): i
+        for i, r in enumerate(sorted(seed_rows, key=lambda r: (r["h"], r["vec_id"])))
+    }
+    cell_map = F.create_map(
+        *[x for vid, c in cell_of.items() for x in (F.lit(vid), F.lit(c))]
+    )
+    return emb.where(F.col("vec_id").isin(*cell_of.keys())).select(
+        cell_map[F.col("vec_id")].alias("cell"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+
+
+def sampled_cells(emb: DataFrame, n_cells: int = 16) -> DataFrame:
+    """Cell assignment ``(vec_id, cell)`` under the sampled quantizer:
+    broadcast join against the n_cells centroid rows, argmin as a
+    map-side-combinable min(struct(dist2, cell)) — no window, vectors
+    never shuffle (only (vec_id, dist2, cell) triples reach the one
+    exchange)."""
+    cent = sampled_centroids(emb, n_cells)
+    pts = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    dists = pts.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cell", dist2_expr(F.col("v"), F.col("cv")).alias("dist2")
+    )
+    return (
+        dists.groupBy("vec_id")
+        .agg(F.min(F.struct("dist2", "cell")).alias("m"))
+        .select("vec_id", F.col("m.cell").alias("cell"))
+    )
+
+
+def sampled_cells_sql_cte(table: str = "embeddings", n_cells: int = 16) -> str:
+    """The seeds/cent/dists/assigned CTE chain — the DuckDB twin of
+    sampled_centroids + sampled_cells, shared by ivf_sampled_topk_sql
+    and semdedup_sampled_sql (compose inside a WITH list)."""
+    from web_scraper_spark.operators.hashing import hash60_sql
+
+    h = hash60_sql("'ivfc:' || vec_id::VARCHAR")
+    d = dist2_sql("e.embedding", "c.cv")
+    return f"""
+        seeds AS (
+            SELECT vec_id, {h} AS h FROM {table}
+            ORDER BY h, vec_id LIMIT {n_cells}
+        ),
+        cent AS (
+            SELECT row_number() OVER (ORDER BY s.h, s.vec_id) - 1 AS cell,
+                   e.embedding AS cv
+            FROM seeds s JOIN {table} e USING (vec_id)
+        ),
+        dists AS (
+            SELECT e.vec_id, c.cell, {d} AS dist2
+            FROM {table} e CROSS JOIN cent c
+        ),
+        assigned AS (
+            SELECT vec_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cell) AS rn
+                FROM dists
+            ) WHERE rn = 1
+        )"""
+
+
 def ivf_sampled_topk(
     emb: DataFrame,
     n_queries: int = 5,
@@ -507,31 +591,7 @@ def ivf_sampled_topk(
     (no window, no shuffle of the vectors beyond the one groupBy), and
     the probed join touches n_probe/n_cells of the corpus.
     """
-    from web_scraper_spark.operators.hashing import hash60
-
-    seed_rows = (
-        emb.select(
-            "vec_id",
-            hash60(F.concat(F.lit("ivfc:"), F.col("vec_id").cast("string"))).alias("h"),
-        )
-        .orderBy("h", "vec_id")  # TakeOrderedAndProject: distributed partial top-k
-        .limit(n_cells)
-        .collect()  # n_cells rows — metadata-sized, like the politeness host list
-    )
-    cell_of = {
-        int(r["vec_id"]): i
-        for i, r in enumerate(sorted(seed_rows, key=lambda r: (r["h"], r["vec_id"])))
-    }
-    cell_map = F.create_map(
-        *[x for vid, c in cell_of.items() for x in (F.lit(vid), F.lit(c))]
-    )
-    cent = (
-        emb.where(F.col("vec_id").isin(*cell_of.keys()))
-        .select(
-            cell_map[F.col("vec_id")].alias("cell"),
-            F.col("embedding").cast("array<double>").alias("cv"),
-        )
-    )
+    cent = sampled_centroids(emb, n_cells)
     pts = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     dists = (
         pts.crossJoin(F.broadcast(cent))
@@ -588,32 +648,9 @@ def ivf_sampled_topk_sql(
     n_cells: int = 16,
     n_probe: int = 4,
 ) -> str:
-    from web_scraper_spark.operators.hashing import hash60_sql
-
-    h = hash60_sql("'ivfc:' || vec_id::VARCHAR")
-    d = dist2_sql("e.embedding", "c.cv")
     cos = cosine_sql("q.embedding", "n.embedding")
     return f"""
-        WITH seeds AS (
-            SELECT vec_id, {h} AS h FROM {table}
-            ORDER BY h, vec_id LIMIT {n_cells}
-        ),
-        cent AS (
-            SELECT row_number() OVER (ORDER BY s.h, s.vec_id) - 1 AS cell,
-                   e.embedding AS cv
-            FROM seeds s JOIN {table} e USING (vec_id)
-        ),
-        dists AS (
-            SELECT e.vec_id, c.cell, {d} AS dist2
-            FROM {table} e CROSS JOIN cent c
-        ),
-        assigned AS (
-            SELECT vec_id, cell FROM (
-                SELECT vec_id, cell,
-                       row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cell) AS rn
-                FROM dists
-            ) WHERE rn = 1
-        ),
+        WITH {sampled_cells_sql_cte(table, n_cells)},
         probe AS (
             SELECT vec_id AS query_id, cell FROM (
                 SELECT vec_id, cell,
@@ -775,3 +812,77 @@ def semdedup(
     seen set, CrawlPaperTuoiTre.py:60-66)."""
     assigned, _ = build_ivf_index(emb, n_cells=n_cells, seed=seed)
     return semdedup_within(assigned, eps=eps)
+
+
+def semdedup_sampled(emb: DataFrame, n_cells: int = 16, eps: float = 0.95) -> DataFrame:
+    """SemDeDup under the hash-SAMPLED quantizer — the fully relational,
+    value-exact-oracle twin of :func:`semdedup` (which stays the
+    recall-optimal Lloyd-trained variant).
+
+    Same earlier-wins rule as semdedup_within: a vector is DROPPED iff
+    some smaller-vec_id vector in its cell has cosine >= eps;
+    ``max_prior_sim`` is the max cosine to any earlier in-cell vector
+    (-1.0 for a cell's first). Two differences make it engine-portable:
+    the quantizer is sampled_cells (exact data-vector centroids, no
+    float means) and the max runs over the ROUNDED-6dp fold cosines
+    (semdedup_within maxes raw BLAS values then rounds — same result
+    except exactly at a 5e-7 rounding boundary).
+
+    Plan shape: assignment as in sampled_cells; within-cell pairs form
+    via a cell-keyed self-join (pair count = Σc²/2 — the quantizer's
+    n_cells ~ N/target_cell_size sizing rule bounds it, identically to
+    semdedup_within's flop count), one groupBy max, one left join back.
+    The per-pair fold is interpreted — at the 10^10 design point the
+    BLAS semdedup_within form does the arithmetic; this plan is the
+    oracle twin (semdedup_sampled_sql).
+    """
+    assigned = sampled_cells(emb, n_cells)
+    vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    av = assigned.join(vecs, "vec_id")
+    a = av.select(
+        F.col("cell"), F.col("vec_id").alias("vec_a"), F.col("v").alias("va")
+    )
+    b = av.select(
+        F.col("cell"), F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")
+    )
+    mx = (
+        a.join(b, "cell")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            F.col("vec_b").alias("vec_id"),
+            cosine_expr(F.col("va"), F.col("vb")).alias("sim"),
+        )
+        .groupBy("vec_id")
+        .agg(F.max("sim").alias("m"))
+    )
+    prior = F.coalesce(F.col("m"), F.lit(-1.0))
+    return (
+        assigned.join(mx, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cell").cast("int").alias("cell"),
+            prior.alias("max_prior_sim"),
+            (prior < F.lit(eps)).alias("kept"),
+        )
+    )
+
+
+def semdedup_sampled_sql(
+    table: str = "embeddings", n_cells: int = 16, eps: float = 0.95
+) -> str:
+    cos = cosine_sql("ea.embedding", "eb.embedding")
+    return f"""
+        WITH {sampled_cells_sql_cte(table, n_cells)},
+        mx AS (
+            SELECT b.vec_id, max({cos}) AS m
+            FROM assigned a
+            JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+            JOIN {table} ea ON ea.vec_id = a.vec_id
+            JOIN {table} eb ON eb.vec_id = b.vec_id
+            GROUP BY b.vec_id
+        )
+        SELECT a.vec_id, a.cell::INT AS cell,
+               coalesce(mx.m, -1.0) AS max_prior_sim,
+               coalesce(mx.m, -1.0) < {eps} AS kept
+        FROM assigned a LEFT JOIN mx ON mx.vec_id = a.vec_id
+    """

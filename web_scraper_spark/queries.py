@@ -509,6 +509,15 @@ def q_ann_ivf_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semdedup_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup under the hash-sampled quantizer — fully relational and
+    value-exact DuckDB-oracled (similarity.semdedup_sampled_sql), the
+    oracled twin of the Lloyd-trained q_semdedup. eps sits at the
+    synthetic corpus's near-dup band (0.35, the near_pairs_blocked tau)
+    so the prune actually fires: ~58 of 500 dropped at sf0.01."""
+    return sim.semdedup_sampled(_emb(spark, sf_dir), n_cells=16, eps=0.35)
+
+
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: k-means the embeddings (the IVF quantizer fit, reused),
     then earlier-wins near-duplicate prune within each cluster — rows-only
@@ -2634,6 +2643,7 @@ def queries() -> dict[str, QueryFn]:
         "pagerank_scores": q_pagerank_scores,
         "curation_disposition": q_curation_disposition,
         "ann_ivf_sampled": q_ann_ivf_sampled,
+        "semdedup_sampled": q_semdedup_sampled,
     }
 
 
@@ -2988,6 +2998,11 @@ def oracle_sql() -> dict[str, str]:
         # assignment, probe, exact rescoring — as one SQL expression
         "ann_ivf_sampled": sim.ivf_sampled_topk_sql(
             "embeddings", n_queries=5, k=10, n_cells=16, n_probe=6
+        ),
+        # r5: SemDeDup's earlier-wins rule is relational once the
+        # quantizer is sampled — assignment, within-cell max, prune flag
+        "semdedup_sampled": sim.semdedup_sampled_sql(
+            "embeddings", n_cells=16, eps=0.35
         ),
         # ner_entities / sessionize_stream / crawl_fetch_log / lda_topics:
         # UDF-stateful / ML — rows-only by design
