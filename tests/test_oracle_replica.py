@@ -79,6 +79,7 @@ def test_gate_window_contract():
         "near_pairs_blocked",     # r5: block-pair BLAS + fold-exact verify
         "ann_ivf_sampled",        # r5: sampled-quantizer IVF, fully relational
         "semdedup_sampled",       # r5: relational SemDeDup, sampled quantizer
+        "word_segment",           # r5: greedy matcher as recursive-CTE walk
     }
 
 

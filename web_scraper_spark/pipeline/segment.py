@@ -157,6 +157,96 @@ def segment_docs(
     )
 
 
+def word_segment_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    min_count: int = 5,
+    max_phrases: int = 5000,
+) -> str:
+    """DuckDB twin of fit_lexicon + segment_docs, value-exact.
+
+    The fit is relational outright (n-gram count + deterministic top-K).
+    The apply's greedy left-to-right consumption — long thought of here
+    as "not SQL-expressible" — is a FUNCTIONAL-GRAPH WALK: every
+    position has a precomputable step (3 if the trigram is in the
+    lexicon, else 2 if the bigram is, else 1), and the segmentation is
+    exactly the orbit of pos=1 under pos -> pos + step(pos). That is
+    the resolve_redirects recipe: a recursive CTE over (doc_id, pos),
+    depth bounded by the longest document's word count. Emitted units
+    re-join with underscores; the final row matches q_word_segment's
+    (doc_id, n_tokens, n_words, seg_hash) aliases."""
+    from web_scraper_spark.operators.hashing import hash60_sql
+
+    w = (
+        f"regexp_replace(trim(regexp_replace(lower({text_col}), "
+        f"'[^\\w\\s]', ' ', 'g')), '\\s+', ' ', 'g')"
+    )
+    return f"""
+        WITH RECURSIVE words AS (
+            SELECT doc_id,
+                   CASE WHEN length({w}) = 0 THEN []
+                        ELSE string_split({w}, ' ') END AS w
+            FROM {table}
+        ),
+        tok AS (SELECT doc_id, w, len(w) AS n FROM words),
+        positions AS (
+            SELECT doc_id, unnest(generate_series(1, n)) AS pos FROM tok
+        ),
+        grams AS (
+            SELECT t.w[p.pos] || ' ' || t.w[p.pos + 1] AS phrase
+            FROM positions p JOIN tok t USING (doc_id) WHERE p.pos + 1 <= t.n
+            UNION ALL
+            SELECT t.w[p.pos] || ' ' || t.w[p.pos + 1] || ' ' || t.w[p.pos + 2]
+            FROM positions p JOIN tok t USING (doc_id) WHERE p.pos + 2 <= t.n
+        ),
+        lex AS (
+            SELECT phrase FROM (
+                SELECT phrase, count(*) AS cnt FROM grams GROUP BY phrase
+                HAVING count(*) >= {min_count}
+                ORDER BY cnt DESC, phrase LIMIT {max_phrases}
+            )
+        ),
+        flags AS (
+            SELECT p.doc_id, p.pos, t.n,
+                   CASE WHEN p.pos + 2 <= t.n AND
+                             t.w[p.pos] || ' ' || t.w[p.pos + 1] || ' ' || t.w[p.pos + 2]
+                             IN (SELECT phrase FROM lex WHERE len(string_split(phrase, ' ')) = 3)
+                        THEN 3
+                        WHEN p.pos + 1 <= t.n AND
+                             t.w[p.pos] || ' ' || t.w[p.pos + 1]
+                             IN (SELECT phrase FROM lex WHERE len(string_split(phrase, ' ')) = 2)
+                        THEN 2
+                        ELSE 1 END AS step,
+                   t.w AS w
+            FROM positions p JOIN tok t USING (doc_id)
+        ),
+        walk AS (
+            SELECT doc_id, 1 AS pos FROM tok WHERE n >= 1
+            UNION ALL
+            SELECT f.doc_id, f.pos + f.step
+            FROM walk v JOIN flags f ON f.doc_id = v.doc_id AND f.pos = v.pos
+            WHERE f.pos + f.step <= f.n
+        ),
+        seg AS (
+            SELECT f.doc_id, f.pos,
+                   CASE f.step
+                        WHEN 3 THEN f.w[f.pos] || '_' || f.w[f.pos + 1] || '_' || f.w[f.pos + 2]
+                        WHEN 2 THEN f.w[f.pos] || '_' || f.w[f.pos + 1]
+                        ELSE f.w[f.pos] END AS unit
+            FROM walk v JOIN flags f ON f.doc_id = v.doc_id AND f.pos = v.pos
+        ),
+        agg AS (
+            SELECT doc_id, count(*) AS n_words,
+                   string_agg(unit, ' ' ORDER BY pos) AS segmented
+            FROM seg GROUP BY doc_id
+        )
+        SELECT t.doc_id, t.n::INT AS n_tokens,
+               coalesce(a.n_words, 0)::INT AS n_words,
+               {hash60_sql("coalesce(a.segmented, '')")} AS seg_hash
+        FROM tok t LEFT JOIN agg a USING (doc_id)
+    """
+
+
 # ---------------------------------------------------------------------------
 # Quality evaluation (r3 VERDICT item 2): segmentation graded on OUTPUT —
 # boundary F1 against a generator with KNOWN true word units, so a future

@@ -2117,9 +2117,12 @@ def q_word_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained word segmentation (the ViTokenizer-tier model,
     reference ConnectAndSave.py:81): fit mines adjacent 2-/3-gram
     collocations natively (zip_with + one groupBy + bounded top-K), apply
-    is greedy maximal matching in one Arrow pass. Rows-only: the greedy
-    left-to-right consumption state is not SQL-expressible; fit
-    determinism + twin equality asserted in tests."""
+    is greedy maximal matching in one Arrow pass. Value-exact
+    DuckDB-oracled (r5): the greedy left-to-right consumption is a
+    functional-graph walk — pos -> pos + step(pos) with step
+    precomputable per position — so the resolve_redirects recursive-CTE
+    recipe oracles the TRAINED MODEL APPLY end-to-end
+    (pipeline/segment.word_segment_sql)."""
     from web_scraper_spark.operators import hashing
     from web_scraper_spark.pipeline.segment import fit_lexicon, segment_docs
 
@@ -2128,6 +2131,12 @@ def q_word_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return segment_docs(docs, lexicon).select(
         "doc_id", "n_tokens", "n_words", hashing.hash60(F.col("segmented")).alias("seg_hash")
     )
+
+
+def _word_segment_sql_oracle() -> str:
+    from web_scraper_spark.pipeline.segment import word_segment_sql
+
+    return word_segment_sql("documents", min_count=5, max_phrases=5000)
 
 
 def _robots_oracle_bodies() -> list[tuple[str, str]]:
@@ -3004,6 +3013,9 @@ def oracle_sql() -> dict[str, str]:
         "semdedup_sampled": sim.semdedup_sampled_sql(
             "embeddings", n_cells=16, eps=0.35
         ),
+        # r5: greedy maximal matching = a functional-graph walk, so the
+        # trained segmenter (fit + apply) oracles as one recursive CTE
+        "word_segment": _word_segment_sql_oracle(),
         # ner_entities / sessionize_stream / crawl_fetch_log / lda_topics:
         # UDF-stateful / ML — rows-only by design
     }
