@@ -140,7 +140,11 @@ def test_semdedup_sampled_matches_within_on_same_assignment(spark):
     assert blas.keys() == rel.keys()
     for vid in blas:
         assert blas[vid]["cell"] == rel[vid]["cell"]
-        assert blas[vid]["kept"] == rel[vid]["kept"]
+        # the two paths round at different points (fold rounds then maxes,
+        # BLAS maxes then rounds), so kept may legitimately differ when
+        # the max sits inside the 6-dp rounding band around eps
+        if abs(blas[vid]["max_prior_sim"] - 0.35) > 1e-6:
+            assert blas[vid]["kept"] == rel[vid]["kept"]
         assert blas[vid]["max_prior_sim"] == pytest.approx(
             rel[vid]["max_prior_sim"], abs=1e-5
         )

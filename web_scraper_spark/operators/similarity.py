@@ -104,7 +104,10 @@ def brute_topk_blocked(emb: DataFrame, n_queries: int = 5, k: int = 10) -> DataF
     )
     q_ids = np.array([r["vec_id"] for r in q_rows])
     Q = np.array([r["v"] for r in q_rows])
-    Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    # same zero-norm guard as the corpus side: a degenerate all-zero query
+    # must yield 0.0 sims (candidates still emitted, matching brute_topk's
+    # shape), not a NaN row that would filter every candidate out
+    Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
     margin = 2e-6
 
     def batches(it):
@@ -514,22 +517,32 @@ def sampled_centroids(emb: DataFrame, n_cells: int = 16) -> DataFrame:
     )
 
 
-def sampled_cells(emb: DataFrame, n_cells: int = 16) -> DataFrame:
-    """Cell assignment ``(vec_id, cell)`` under the sampled quantizer:
-    broadcast join against the n_cells centroid rows, argmin as a
-    map-side-combinable min(struct(dist2, cell)) — no window, vectors
-    never shuffle (only (vec_id, dist2, cell) triples reach the one
-    exchange)."""
+def _sampled_dists(emb: DataFrame, n_cells: int = 16) -> DataFrame:
+    """Per-(vector, centroid) squared distances under the sampled
+    quantizer: broadcast join against the n_cells centroid rows — the
+    shared sub-plan of assignment (argmin over all rows) and probe
+    (rank over the query rows)."""
     cent = sampled_centroids(emb, n_cells)
     pts = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    dists = pts.crossJoin(F.broadcast(cent)).select(
+    return pts.crossJoin(F.broadcast(cent)).select(
         "vec_id", "cell", dist2_expr(F.col("v"), F.col("cv")).alias("dist2")
     )
+
+
+def _argmin_cells(dists: DataFrame) -> DataFrame:
+    """(vec_id, cell) argmin as a map-side-combinable min(struct(dist2,
+    cell)) — no window, vectors never shuffle (only (vec_id, dist2,
+    cell) triples reach the one exchange); ties break on cell id."""
     return (
         dists.groupBy("vec_id")
         .agg(F.min(F.struct("dist2", "cell")).alias("m"))
         .select("vec_id", F.col("m.cell").alias("cell"))
     )
+
+
+def sampled_cells(emb: DataFrame, n_cells: int = 16) -> DataFrame:
+    """Cell assignment ``(vec_id, cell)`` under the sampled quantizer."""
+    return _argmin_cells(_sampled_dists(emb, n_cells))
 
 
 def sampled_cells_sql_cte(table: str = "embeddings", n_cells: int = 16) -> str:
@@ -591,21 +604,8 @@ def ivf_sampled_topk(
     (no window, no shuffle of the vectors beyond the one groupBy), and
     the probed join touches n_probe/n_cells of the corpus.
     """
-    cent = sampled_centroids(emb, n_cells)
-    pts = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    dists = (
-        pts.crossJoin(F.broadcast(cent))
-        .select(
-            "vec_id",
-            "cell",
-            dist2_expr(F.col("v"), F.col("cv")).alias("dist2"),
-        )
-    )
-    assigned = (
-        dists.groupBy("vec_id")
-        .agg(F.min(F.struct("dist2", "cell")).alias("m"))
-        .select("vec_id", F.col("m.cell").alias("cell"))
-    )
+    dists = _sampled_dists(emb, n_cells)
+    assigned = _argmin_cells(dists)
     wq = Window.partitionBy("vec_id").orderBy("dist2", "cell")
     probe = (
         dists.where(F.col("vec_id") < n_queries)
@@ -836,7 +836,11 @@ def semdedup_sampled(emb: DataFrame, n_cells: int = 16, eps: float = 0.95) -> Da
     BLAS semdedup_within form does the arithmetic; this plan is the
     oracle twin (semdedup_sampled_sql).
     """
-    assigned = sampled_cells(emb, n_cells)
+    # the assignment frame feeds BOTH the pair self-join and the final
+    # left join — eager localCheckpoint so the N x n_cells dist2 fold and
+    # its argmin exchange run once, not once per reference (the repo's
+    # cache-before-multi-reference rule; storage is RDD-scoped)
+    assigned = sampled_cells(emb, n_cells).localCheckpoint(eager=True)
     vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     av = assigned.join(vecs, "vec_id")
     a = av.select(

@@ -32,11 +32,18 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+# Explicit whitespace class instead of \s: Java's \s includes \x0B
+# (vertical tab) while DuckDB's RE2 \s does not — spelling the class out
+# keeps Spark and the word_segment_sql oracle tokenizing identically on
+# any input, not just the \v-free test corpus.
+_WS = " \\t\\n\\x0B\\f\\r"
+
+
 def _words(col: Column) -> Column:
     """lower → strip punctuation → whitespace split (raw token stream;
     stopwords stay — segmentation happens before stopword stripping)."""
-    c = F.regexp_replace(F.lower(col), r"[^\w\s]", " ")
-    c = F.regexp_replace(F.trim(c), r"\s+", " ")
+    c = F.regexp_replace(F.lower(col), f"[^\\w{_WS}]", " ")
+    c = F.regexp_replace(F.trim(c), f"[{_WS}]+", " ")
     return F.when(F.length(c) == 0, F.array().cast("array<string>")).otherwise(
         F.split(c, " ")
     )
@@ -177,9 +184,12 @@ def word_segment_sql(
     (doc_id, n_tokens, n_words, seg_hash) aliases."""
     from web_scraper_spark.operators.hashing import hash60_sql
 
+    # the same EXPLICIT whitespace class as _words (\s diverges between
+    # Java and RE2 on \x0B)
+    ws = " \\t\\n\\x0B\\f\\r"
     w = (
         f"regexp_replace(trim(regexp_replace(lower({text_col}), "
-        f"'[^\\w\\s]', ' ', 'g')), '\\s+', ' ', 'g')"
+        f"'[^\\w{ws}]', ' ', 'g')), '[{ws}]+', ' ', 'g')"
     )
     return f"""
         WITH RECURSIVE words AS (
