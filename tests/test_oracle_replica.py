@@ -80,6 +80,7 @@ def test_gate_window_contract():
         "ann_ivf_sampled",        # r5: sampled-quantizer IVF, fully relational
         "semdedup_sampled",       # r5: relational SemDeDup, sampled quantizer
         "word_segment",           # r5: greedy matcher as recursive-CTE walk
+        "dsir_sample",            # r5: DSIR importance resampling (Xie 2023)
     }
 
 

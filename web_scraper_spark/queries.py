@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from web_scraper_spark.operators import analytics as an
 from web_scraper_spark.operators import curation as cu
 from web_scraper_spark.operators import incremental as inc
+from web_scraper_spark.operators import dsir as dsr_mod
 from web_scraper_spark.operators import lm as lmod
 from web_scraper_spark.operators import dedup as dd
 from web_scraper_spark.operators import multimodal as mm
@@ -531,6 +532,15 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     thirds — fully relational, so the trained-model stage is value-exact
     DuckDB-oracled (operators/lm.py)."""
     return lmod.lm_perplexity(_docs(spark, sf_dir))
+
+
+def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023): hashed-ngram bucket
+    models for target vs raw, per-doc log importance weight, Gumbel
+    top-k selection — the bucket model is FIXED-SIZE (4096 rows) so at
+    100 TB it broadcasts where lm_perplexity must shuffle-join. Value-
+    exact DuckDB oracle (operators/dsir.py)."""
+    return dsr_mod.dsir_sample(_docs(spark, sf_dir))
 
 
 def _curation_final(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2653,6 +2663,7 @@ def queries() -> dict[str, QueryFn]:
         "curation_disposition": q_curation_disposition,
         "ann_ivf_sampled": q_ann_ivf_sampled,
         "semdedup_sampled": q_semdedup_sampled,
+        "dsir_sample": q_dsir_sample,
     }
 
 
@@ -3013,6 +3024,7 @@ def oracle_sql() -> dict[str, str]:
         "semdedup_sampled": sim.semdedup_sampled_sql(
             "embeddings", n_cells=16, eps=0.35
         ),
+        "dsir_sample": dsr_mod.dsir_sample_sql(),
         # r5: greedy maximal matching = a functional-graph walk, so the
         # trained segmenter (fit + apply) oracles as one recursive CTE
         "word_segment": _word_segment_sql_oracle(),
