@@ -2365,10 +2365,26 @@ def q_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REAL byte-walk WARC parser (Content-Length jumps) over the same
-    archives — rows-only (imperative mapInPandas); equality with the
-    codegen tier on clean payloads + decoy robustness asserted in
-    tests/test_warc.py."""
+    archives. Value-exact oracled by WRITER-ROUNDTRIP IDENTITY: the
+    archives are synthesized from documents in doc_id order, so the
+    DuckDB twin re-derives every parsed field (url, date, octet length,
+    payload, per-archive record index) straight from documents — the
+    parser must invert the writer byte-exactly to hash-match. Decoy
+    robustness (payloads containing record-boundary lookalikes) is
+    pytest-asserted in tests/test_warc.py."""
     return wa.warc_records_stream(warc_archives_df(_docs(spark, sf_dir)))
+
+
+WARC_RECORDS_ORACLE = f"""
+    SELECT source || '.warc' AS archive,
+           (row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1)::INT
+               AS rec_idx,
+           {_WARC_URL_SQL} AS url,
+           {_WARC_DATE_SQL} AS warc_date,
+           strlen(text)::BIGINT AS content_length,
+           text AS payload
+    FROM documents
+"""
 
 
 SITEMAP_PARSE_SQL_BODIES = """
@@ -2706,6 +2722,8 @@ def oracle_sql() -> dict[str, str]:
             + ") SELECT * FROM entries"
         ),
         "lm_perplexity": lmod.lm_perplexity_sql(),
+        # roundtrip identity: the byte-walk parser must invert the writer
+        "warc_records": WARC_RECORDS_ORACLE,
         "dup_spans": cu.dup_spans_sql(),
         "strip_dup_spans": cu.strip_dup_spans_sql(),
         "hll_cardinality": sko.hll_token_sketch_sql(),
