@@ -82,6 +82,7 @@ def test_gate_window_contract():
         "word_segment",           # r5: greedy matcher as recursive-CTE walk
         "dsir_sample",            # r5: DSIR importance resampling (Xie 2023)
         "warc_records",           # r5: byte-walk parser, writer-roundtrip twin
+        "sessionize_stream",      # r5: exact-micros state, shares batch oracle
     }
 
 

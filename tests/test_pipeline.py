@@ -342,8 +342,11 @@ def test_sessionize_stream_matches_batch(spark, sf_dir):
     from web_scraper_spark.streaming.sessionize import sessionize_batch, sessionize_stream
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    batch = sessionize_batch(ev).select("user_id", "session_id", "n_events")
-    stream = sessionize_stream(spark, sf_dir).select("user_id", "session_id", "n_events")
+    batch = sessionize_batch(ev)
+    stream = sessionize_stream(spark, sf_dir)
+    # FULL-ROW equality incl. microsecond-exact session bounds: the
+    # stream shares the batch tier's DuckDB oracle body, so any drift
+    # here would also flake the registered oracle
     b = {tuple(r) for r in batch.collect()}
     s = {tuple(r) for r in stream.collect()}
     # the sentinel flush closes every real session → stream == batch exactly

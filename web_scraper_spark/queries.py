@@ -1939,8 +1939,11 @@ def q_ner_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """applyInPandasWithState sessionization (closed sessions). Rows-only;
-    equality with the batch twin is asserted in tests."""
+    """applyInPandasWithState sessionization (closed sessions). Session
+    bounds ride through state as exact integer microseconds, so the
+    stream is value-identical to the batch tier and shares its DuckDB
+    oracle body (the repo's only value-exact-oracled STREAMING-STATE
+    query); full-row equality also asserted in tests."""
     from web_scraper_spark.streaming.sessionize import sessionize_stream
 
     return sessionize_stream(spark, sf_dir)
@@ -3022,6 +3025,9 @@ def oracle_sql() -> dict[str, str]:
         "relation_extract_full": _relation_extract_full_sql(),
         "kg_graph": KG_GRAPH_SQL.format(tok=tokens_sql(clean_text_sql("text"))),
         "sessionize": _sessionize_sql(),
+        # the stream carries exact integer-microsecond bounds through
+        # state, so it shares the batch tier's oracle body verbatim
+        "sessionize_stream": _sessionize_sql(),
         "stream_slot_window": oracle_sql_slot_window(),
         "stream_dedup": """
             SELECT event_type, count(DISTINCT event_id) AS n_unique

@@ -67,9 +67,13 @@ def sessionize_batch_sql(table: str = "events", gap_minutes: int = GAP_MINUTES) 
 
 SESSION_OUT_SCHEMA = (
     "user_id bigint, session_id int, n_events bigint, "
-    "session_start timestamp, session_end timestamp"
+    "session_start timestamp_ntz, session_end timestamp_ntz"
 )
-SESSION_STATE_SCHEMA = "next_id int, last_ts double, open_count bigint, open_start double"
+# timestamps ride through state as INTEGER microseconds (never float
+# seconds): the emitted session bounds must be microsecond-identical to
+# the batch tier for the shared value-exact oracle, and integer micros
+# also make the gap comparison exact at the boundary.
+SESSION_STATE_SCHEMA = "next_id int, last_ts bigint, open_count bigint, open_start bigint"
 
 
 _session_stream_dirs: dict[str, str] = {}
@@ -138,7 +142,7 @@ def sessionize_stream(spark: SparkSession, sf_dir: str, gap_minutes: int = GAP_M
         _run_to_memory,
     )
 
-    gap_s = float(gap_minutes * 60)
+    gap_us = int(gap_minutes) * 60 * 1_000_000
 
     def fn(key: Any, pdfs, state: GroupState):
         (user_id,) = key
@@ -150,10 +154,10 @@ def sessionize_stream(spark: SparkSession, sf_dir: str, gap_minutes: int = GAP_M
         for pdf in pdfs:
             pdf = pdf.sort_values(["ts", "event_id"])
             for ts in pdf["ts"]:
-                t = ts.timestamp()
+                t = int(ts.value) // 1000  # exact integer microseconds
                 if last_ts is None:
                     open_count, open_start = 1, t
-                elif t - last_ts > gap_s:
+                elif t - last_ts > gap_us:
                     closed.append((user_id, next_id, open_count, open_start, last_ts))
                     next_id += 1
                     open_count, open_start = 1, t
@@ -162,14 +166,17 @@ def sessionize_stream(spark: SparkSession, sf_dir: str, gap_minutes: int = GAP_M
                 last_ts = t
         state.update((next_id, last_ts, open_count, open_start))
         if closed:
-            yield pd.DataFrame(
+            out = pd.DataFrame(
                 closed,
                 columns=["user_id", "session_id", "n_events", "session_start", "session_end"],
-            ).astype({"session_start": "datetime64[s]", "session_end": "datetime64[s]"})
+            )
+            for c in ("session_start", "session_end"):
+                out[c] = pd.to_datetime(out[c], unit="us")
+            yield out
 
     ev = (
         spark.readStream.schema(EVENTS_SCHEMA)
-        .parquet(_sessionize_stream_dir(spark, sf_dir, gap_s))
+        .parquet(_sessionize_stream_dir(spark, sf_dir, float(gap_minutes * 60)))
         .select("user_id", "ts", "event_id")
     )
     out = ev.groupBy("user_id").applyInPandasWithState(
