@@ -83,6 +83,7 @@ def test_gate_window_contract():
         "dsir_sample",            # r5: DSIR importance resampling (Xie 2023)
         "warc_records",           # r5: byte-walk parser, writer-roundtrip twin
         "sessionize_stream",      # r5: exact-micros state, shares batch oracle
+        "pmi_collocations",       # r5: Church & Hanks PMI top-k pairs
     }
 
 

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from web_scraper_spark.operators import analytics as an
 from web_scraper_spark.operators import curation as cu
 from web_scraper_spark.operators import incremental as inc
+from web_scraper_spark.operators import collocations as colc
 from web_scraper_spark.operators import dsir as dsr_mod
 from web_scraper_spark.operators import lm as lmod
 from web_scraper_spark.operators import dedup as dd
@@ -541,6 +542,15 @@ def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB it broadcasts where lm_perplexity must shuffle-join. Value-
     exact DuckDB oracle (operators/dsir.py)."""
     return dsr_mod.dsir_sample(_docs(spark, sf_dir))
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Church & Hanks PMI collocations: top-k adjacent word pairs by
+    pointwise mutual information, min-count noise rule first — two
+    vocabulary-sized count aggregates + co-partitioned joins (the
+    lm_perplexity shape), two-phase global rank. Value-exact DuckDB
+    oracle (operators/collocations.py)."""
+    return colc.pmi_collocations(_docs(spark, sf_dir))
 
 
 def _curation_final(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2683,6 +2693,7 @@ def queries() -> dict[str, QueryFn]:
         "ann_ivf_sampled": q_ann_ivf_sampled,
         "semdedup_sampled": q_semdedup_sampled,
         "dsir_sample": q_dsir_sample,
+        "pmi_collocations": q_pmi_collocations,
     }
 
 
@@ -3049,6 +3060,9 @@ def oracle_sql() -> dict[str, str]:
             "embeddings", n_cells=16, eps=0.35
         ),
         "dsir_sample": dsr_mod.dsir_sample_sql(),
+        # r5: Church & Hanks PMI — three integer-ratio lns rounded 6 dp
+        # in one expression, total-ordered top-k
+        "pmi_collocations": colc.pmi_collocations_sql(),
         # r5: greedy maximal matching = a functional-graph walk, so the
         # trained segmenter (fit + apply) oracles as one recursive CTE
         "word_segment": _word_segment_sql_oracle(),
