@@ -86,3 +86,13 @@ def test_deterministic_and_partition_invariant(spark):
     a = sorted(map(tuple, collocations.pmi_collocations(_docs(spark, rows, 1)).collect()))
     b = sorted(map(tuple, collocations.pmi_collocations(_docs(spark, rows, 7)).collect()))
     assert a == b
+
+
+def test_plan_is_python_free_and_never_single_partition(spark):
+    """The PMI expression must stay in whole-stage codegen (no Arrow/
+    batch Python eval) and the top-k rank must ride the two-phase
+    global rank, never a SinglePartition window exchange."""
+    df = collocations.pmi_collocations(_docs(spark, _planted()), min_count=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "SinglePartition" not in plan
