@@ -84,6 +84,7 @@ def test_gate_window_contract():
         "warc_records",           # r5: byte-walk parser, writer-roundtrip twin
         "sessionize_stream",      # r5: exact-micros state, shares batch oracle
         "pmi_collocations",       # r5: Church & Hanks PMI top-k pairs
+        "tfidf_keywords",         # r5: per-doc TF-IDF keyword extraction
     }
 
 

@@ -24,6 +24,7 @@ from web_scraper_spark.operators import analytics as an
 from web_scraper_spark.operators import curation as cu
 from web_scraper_spark.operators import incremental as inc
 from web_scraper_spark.operators import collocations as colc
+from web_scraper_spark.operators import tfidf as tfi
 from web_scraper_spark.operators import dsir as dsr_mod
 from web_scraper_spark.operators import lm as lmod
 from web_scraper_spark.operators import dedup as dd
@@ -551,6 +552,15 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     lm_perplexity shape), two-phase global rank. Value-exact DuckDB
     oracle (operators/collocations.py)."""
     return colc.pmi_collocations(_docs(spark, sf_dir))
+
+
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: top-5 terms per document by
+    tf·ln(N/df) — derives the keyword column the reference stores
+    verbatim from page meta tags. One (doc_id, term) reduce, df over
+    the reduced frame, doc-partitioned rank window. Value-exact DuckDB
+    oracle (operators/tfidf.py)."""
+    return tfi.tfidf_keywords(_docs(spark, sf_dir))
 
 
 def _curation_final(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2694,6 +2704,7 @@ def queries() -> dict[str, QueryFn]:
         "semdedup_sampled": q_semdedup_sampled,
         "dsir_sample": q_dsir_sample,
         "pmi_collocations": q_pmi_collocations,
+        "tfidf_keywords": q_tfidf_keywords,
     }
 
 
@@ -3063,6 +3074,9 @@ def oracle_sql() -> dict[str, str]:
         # r5: Church & Hanks PMI — three integer-ratio lns rounded 6 dp
         # in one expression, total-ordered top-k
         "pmi_collocations": colc.pmi_collocations_sql(),
+        # r5: TF-IDF keyword extraction — integer tf × 6-dp idf,
+        # doc-partitioned top-k window
+        "tfidf_keywords": tfi.tfidf_keywords_sql(),
         # r5: greedy maximal matching = a functional-graph walk, so the
         # trained segmenter (fit + apply) oracles as one recursive CTE
         "word_segment": _word_segment_sql_oracle(),
