@@ -85,6 +85,9 @@ def test_gate_window_contract():
         "sessionize_stream",      # r5: exact-micros state, shares batch oracle
         "pmi_collocations",       # r5: Church & Hanks PMI top-k pairs
         "tfidf_keywords",         # r5: per-doc TF-IDF keyword extraction
+        "winnow_fingerprints",    # r5: MOSS winnowing selected-set summary
+        "c4_filters",             # r5: C4 cleaning rules over chunk lines
+        "readability_scores",     # r5: Flesch / Flesch–Kincaid formulas
     }
 
 

@@ -1,0 +1,120 @@
+"""Winnowing fingerprints (operators/winnow.py).
+
+Value-exactness vs DuckDB is covered by the oracle replica
+(`winnow_fingerprints` is a registered oracled query); these tests pin
+the SEMANTICS against a from-scratch Python twin, the Schleimer et al.
+overlap guarantee, short-doc behavior, and partition invariance.
+"""
+
+import functools
+
+from web_scraper_spark.operators import winnow
+from web_scraper_spark.operators.hashing import hash60_py
+
+
+def _docs(spark, rows, parts=None):
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    return df.repartition(parts) if parts else df
+
+
+def _py_selected(text, k=winnow.GRAM_K, w=winnow.WINDOW_W):
+    """Python twin: selected fingerprint multiset {fp: n_windows}."""
+    tok = text.strip().lower().split()
+    grams = [" ".join(tok[i : i + k]) for i in range(max(len(tok) - k + 1, 0))]
+    hs = [hash60_py(g) for g in grams]
+    sel = {}
+    for p in range(len(hs)):
+        fp = min(hs[p : p + w])  # shrinking suffix windows at the tail
+        sel[fp] = sel.get(fp, 0) + 1
+    return sel
+
+
+def _py_summary(text):
+    sel = _py_selected(text)
+    if not sel:
+        return (0, 0, 0, 0, 0)
+    return (
+        sum(sel.values()),
+        len(sel),
+        min(sel),
+        max(sel),
+        functools.reduce(lambda a, b: a ^ b, sel.keys()),
+    )
+
+
+WORDS = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+
+
+def _sentence(seed, n):
+    return " ".join(WORDS[(seed * 7 + i * 3) % len(WORDS)] for i in range(n))
+
+
+def test_matches_python_twin(spark):
+    rows = [(i, _sentence(i, 12 + i)) for i in range(8)]
+    out = {r["doc_id"]: r for r in winnow.winnow_fingerprints(_docs(spark, rows)).collect()}
+    for doc_id, text in rows:
+        r = out[doc_id]
+        assert (
+            r["n_grams"], r["n_fps"], r["fp_min"], r["fp_max"], r["fp_xor"]
+        ) == _py_summary(text)
+
+
+def test_short_docs(spark):
+    rows = [
+        (0, "a b c"),        # 3 tokens < k=4: zero grams
+        (1, "a b c d"),      # exactly k tokens: 1 gram, 1 fp
+        (2, ""),             # empty text
+    ]
+    out = {r["doc_id"]: r for r in winnow.winnow_fingerprints(_docs(spark, rows)).collect()}
+    assert out[0]["n_grams"] == 0 and out[0]["n_fps"] == 0 and out[0]["fp_xor"] == 0
+    assert out[1]["n_grams"] == 1 and out[1]["n_fps"] == 1
+    assert out[1]["fp_min"] == out[1]["fp_max"] == out[1]["fp_xor"]
+    assert out[2]["n_grams"] == 0
+    for doc_id, text in rows:
+        r = out[doc_id]
+        assert (
+            r["n_grams"], r["n_fps"], r["fp_min"], r["fp_max"], r["fp_xor"]
+        ) == _py_summary(text)
+
+
+def test_overlap_guarantee(spark):
+    """Any shared run of k + w - 1 = 8 tokens yields a common selected
+    fingerprint (Schleimer et al. §3) — checked on the python twin, which
+    test_matches_python_twin proves equal to the operator."""
+    shared = "one two three four five six seven eight"  # 8 tokens
+    a = f"{_sentence(1, 10)} {shared} {_sentence(2, 10)}"
+    b = f"{_sentence(3, 6)} {shared} {_sentence(4, 14)}"
+    common = set(_py_selected(a)) & set(_py_selected(b))
+    assert common, "winnowing guarantee violated"
+
+
+def test_density_bound(spark):
+    """Selected distinct fps ≤ windows, and well below gram count for a
+    long doc (the ~2/(w+1) density property, loose bound here)."""
+    text = _sentence(5, 400)
+    sel = _py_selected(text)
+    n_grams = sum(sel.values())
+    assert n_grams == 400 - winnow.GRAM_K + 1
+    assert len(sel) < n_grams / 2
+
+
+def test_partition_invariant(spark):
+    rows = [(i, _sentence(i, 30)) for i in range(10)]
+    a = sorted(map(tuple, winnow.winnow_fingerprints(_docs(spark, rows, 1)).collect()))
+    b = sorted(map(tuple, winnow.winnow_fingerprints(_docs(spark, rows, 7)).collect()))
+    assert a == b
+
+
+def test_plan_shape(spark):
+    """Python-free, no SinglePartition exchange, and the doc_id shuffle is
+    REUSED: window + both aggregates ride one Exchange (plus the fan-out
+    repartition) — no per-step reshuffle."""
+    df = winnow.winnow_fingerprints(_docs(spark, [(i, _sentence(i, 20)) for i in range(6)]))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "SinglePartition" not in plan
+    # exchanges: fan-out RoundRobin + hashpartitioning(doc_id) for the
+    # window/agg chain + the final left-join's exchanges; the window→
+    # distinct→rollup chain must not introduce one exchange per step
+    n_hash_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_hash_exchanges <= 3, plan

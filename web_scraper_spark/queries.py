@@ -26,6 +26,9 @@ from web_scraper_spark.operators import incremental as inc
 from web_scraper_spark.operators import collocations as colc
 from web_scraper_spark.operators import tfidf as tfi
 from web_scraper_spark.operators import dsir as dsr_mod
+from web_scraper_spark.operators import winnow as winn
+from web_scraper_spark.operators import c4 as c4_mod
+from web_scraper_spark.operators import readability as readb
 from web_scraper_spark.operators import lm as lmod
 from web_scraper_spark.operators import dedup as dd
 from web_scraper_spark.operators import multimodal as mm
@@ -561,6 +564,33 @@ def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reduced frame, doc-partitioned rank window. Value-exact DuckDB
     oracle (operators/tfidf.py)."""
     return tfi.tfidf_keywords(_docs(spark, sf_dir))
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) local fingerprints: sliding-window min over
+    hashed word 4-grams, per-doc summary of the selected set (count +
+    min/max + bit_xor fold). One explode of 8-byte gram hashes, one
+    doc_id shuffle serving window + distinct + rollup. Value-exact
+    DuckDB oracle (operators/winnow.py)."""
+    return winn.winnow_fingerprints(_docs(spark, sf_dir))
+
+
+def q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020 §2.2) over synthesized
+    12-token chunk lines: short-line / javascript line drops, badword /
+    lorem-ipsum / curly-brace / few-lines page dispositions; terminal
+    punctuation reported (the corpus is punctuation-free; the gating
+    variant is planted-text tested). One struct-array explode + one
+    doc_id rollup. Value-exact DuckDB oracle (operators/c4.py)."""
+    return c4_mod.c4_filters(_docs(spark, sf_dir))
+
+
+def q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch Reading Ease + Flesch–Kincaid grade per document
+    (vowel-group syllable heuristic, sentence floor 1 on the
+    punctuation-free corpus). Pure codegen scan, zero shuffles.
+    Value-exact DuckDB oracle (operators/readability.py)."""
+    return readb.readability_scores(_docs(spark, sf_dir))
 
 
 def _curation_final(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2705,6 +2735,12 @@ def queries() -> dict[str, QueryFn]:
         "dsir_sample": q_dsir_sample,
         "pmi_collocations": q_pmi_collocations,
         "tfidf_keywords": q_tfidf_keywords,
+        # r5: winnowing local fingerprints (Schleimer et al. 2003)
+        "winnow_fingerprints": q_winnow_fingerprints,
+        # r5: C4 page/line cleaning rules (Raffel et al. 2020)
+        "c4_filters": q_c4_filters,
+        # r5: Flesch / Flesch–Kincaid readability formulas
+        "readability_scores": q_readability_scores,
     }
 
 
@@ -3077,6 +3113,14 @@ def oracle_sql() -> dict[str, str]:
         # r5: TF-IDF keyword extraction — integer tf × 6-dp idf,
         # doc-partitioned top-k window
         "tfidf_keywords": tfi.tfidf_keywords_sql(),
+        # r5: winnowing fingerprint summary — window min over gram
+        # hashes, distinct-set bit_xor fold (order-insensitive)
+        "winnow_fingerprints": winn.winnow_fingerprints_sql(),
+        # r5: C4 rules over chunk lines — punct gate reported (corpus
+        # is punctuation-free); gating variant planted-text tested
+        "c4_filters": c4_mod.c4_filters_sql(),
+        # r5: Flesch/FK — 6-dp component ratios into 4-dp scores
+        "readability_scores": readb.readability_scores_sql(),
         # r5: greedy maximal matching = a functional-graph walk, so the
         # trained segmenter (fit + apply) oracles as one recursive CTE
         "word_segment": _word_segment_sql_oracle(),
