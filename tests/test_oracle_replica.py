@@ -88,6 +88,7 @@ def test_gate_window_contract():
         "winnow_fingerprints",    # r5: MOSS winnowing selected-set summary
         "c4_filters",             # r5: C4 cleaning rules over chunk lines
         "readability_scores",     # r5: Flesch / Flesch–Kincaid formulas
+        "pack_chunks",            # r5: sequence-packing placement map
     }
 
 

@@ -71,3 +71,56 @@ def with_global_rank(
         .drop("_gr_pid", "_gr_local")
     )
     return out, ranged
+
+
+def with_global_cumsum(
+    df: DataFrame,
+    order_cols: list,
+    val_col: str,
+    out_col: str,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Attach ``out_col`` = EXCLUSIVE global prefix sum of ``val_col``
+    (an integer column) under the total order ``order_cols`` — the
+    cumulative-sum analog of :func:`with_global_rank`, same two-phase
+    construction: range-repartition pinned with an eager localCheckpoint,
+    a partitioned exclusive window sum, and per-partition value totals
+    (one bigint per partition — metadata-scale) folded in as broadcast
+    literal offsets. Never a single-partition window. Returns
+    (result, handle) with the same storage contract as with_global_rank.
+    """
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    ranged = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        .withColumn("_gc_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    sums = ranged.groupBy("_gc_pid").agg(
+        F.sum(F.col(val_col).cast("bigint")).alias("_gc_sum")
+    ).collect()
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in sorted(sums, key=lambda r: r["_gc_pid"]):
+        offsets[r["_gc_pid"]] = acc
+        acc += int(r["_gc_sum"] or 0)
+    if offsets:
+        off_map = F.create_map(
+            *[x for pid, off in offsets.items() for x in (F.lit(pid), F.lit(off))]
+        )
+        offset_expr = F.coalesce(off_map[F.col("_gc_pid")], F.lit(0))
+    else:
+        offset_expr = F.lit(0)
+    w = (
+        Window.partitionBy("_gc_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = F.coalesce(
+        F.sum(F.col(val_col).cast("bigint")).over(w), F.lit(0)
+    )
+    out = ranged.withColumn(
+        out_col, (local + offset_expr).cast("long")
+    ).drop("_gc_pid")
+    return out, ranged

@@ -29,6 +29,7 @@ from web_scraper_spark.operators import dsir as dsr_mod
 from web_scraper_spark.operators import winnow as winn
 from web_scraper_spark.operators import c4 as c4_mod
 from web_scraper_spark.operators import readability as readb
+from web_scraper_spark.operators import packing as packg
 from web_scraper_spark.operators import lm as lmod
 from web_scraper_spark.operators import dedup as dd
 from web_scraper_spark.operators import multimodal as mm
@@ -591,6 +592,15 @@ def q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     punctuation-free corpus). Pure codegen scan, zero shuffles.
     Value-exact DuckDB oracle (operators/readability.py)."""
     return readb.readability_scores(_docs(spark, sf_dir))
+
+
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk sequence-packing placement map: each
+    document's start offset in the global token stream (two-phase
+    exclusive cumsum — never a single-partition window), first/last
+    context-window pack touched, boundary-crossing flag. All integer
+    arithmetic. Value-exact DuckDB oracle (operators/packing.py)."""
+    return packg.pack_chunks(_docs(spark, sf_dir))
 
 
 def _curation_final(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2741,6 +2751,8 @@ def queries() -> dict[str, QueryFn]:
         "c4_filters": q_c4_filters,
         # r5: Flesch / Flesch–Kincaid readability formulas
         "readability_scores": q_readability_scores,
+        # r5: concat-and-chunk sequence-packing placement map
+        "pack_chunks": q_pack_chunks,
     }
 
 
@@ -3121,6 +3133,9 @@ def oracle_sql() -> dict[str, str]:
         "c4_filters": c4_mod.c4_filters_sql(),
         # r5: Flesch/FK — 6-dp component ratios into 4-dp scores
         "readability_scores": readb.readability_scores_sql(),
+        # r5: packing placement — exclusive integer cumsum + DIV, the
+        # two-phase global window restated as one SQL window
+        "pack_chunks": packg.pack_chunks_sql(),
         # r5: greedy maximal matching = a functional-graph walk, so the
         # trained segmenter (fit + apply) oracles as one recursive CTE
         "word_segment": _word_segment_sql_oracle(),
