@@ -89,6 +89,7 @@ def test_gate_window_contract():
         "c4_filters",             # r5: C4 cleaning rules over chunk lines
         "readability_scores",     # r5: Flesch / Flesch–Kincaid formulas
         "pack_chunks",            # r5: sequence-packing placement map
+        "url_filter",             # r5: RefinedWeb URL triage dispositions
     }
 
 

@@ -42,6 +42,7 @@ from web_scraper_spark.frontier import redirects as rd_mod
 from web_scraper_spark.frontier import schedule as sch_mod
 from web_scraper_spark.frontier import traps as tr
 from web_scraper_spark.frontier import robots as rb_mod
+from web_scraper_spark.frontier import urlfilter as uf_mod
 from web_scraper_spark.operators import graphalgo as ga_mod
 from web_scraper_spark.sources import warc as wa
 from web_scraper_spark.operators import phrase as ph
@@ -1694,6 +1695,64 @@ CANON_URLS_CTE = """
     FROM orders
 """
 
+# word pool / extension schedule for the url_filter population: indices
+# derive from lineitem integers so the SQL CTE can build IDENTICAL urls
+_UF_WORDS = [
+    "casino", "stream", "video", "download", "free", "online",
+    "news", "sports", "tech", "travel", "shop", "blog",
+]
+_UF_EXTS = ["html", "html", "jpg", "mp3", ""]
+
+
+def _synthetic_filter_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic URL population for url_filter: hosts h0-h7 (h0-h2
+    blocklisted), path words drawn from _UF_WORDS by l_partkey (covering
+    hard drops like 'casino', threshold sums like 'stream'+'video', and
+    benign combos), extensions by l_orderkey incl. media types."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    words = F.array(*[F.lit(x) for x in _UF_WORDS])
+    exts = F.array(*[F.lit(x) for x in _UF_EXTS])
+    w1 = F.element_at(words, (F.col("l_partkey") % 12 + 1).cast("int"))
+    w2 = F.element_at(words, ((F.col("l_partkey") + 5) % 12 + 1).cast("int"))
+    e = F.element_at(exts, (F.col("l_orderkey") % 5 + 1).cast("int"))
+    url = F.concat(
+        F.lit("https://h"),
+        (F.col("l_suppkey") % 8).cast("string"),
+        F.lit(".example/"),
+        w1,
+        F.lit("/"),
+        w2,
+        F.lit("-"),
+        (F.col("l_partkey") % 100).cast("string"),
+        F.when(e == "", F.lit("")).otherwise(F.concat(F.lit("."), e)),
+    )
+    return li.select(url.alias("url")).distinct()
+
+
+FILTER_URLS_CTE = f"""
+    SELECT DISTINCT
+           'https://h' || CAST(l_suppkey % 8 AS VARCHAR) || '.example/'
+           || ({_UF_WORDS!r}[(l_partkey % 12) + 1])
+           || '/' || ({_UF_WORDS!r}[((l_partkey + 5) % 12) + 1])
+           || '-' || CAST(l_partkey % 100 AS VARCHAR)
+           || (CASE WHEN ({_UF_EXTS!r}[(l_orderkey % 5) + 1]) = '' THEN ''
+                    ELSE '.' || ({_UF_EXTS!r}[(l_orderkey % 5) + 1]) END)
+               AS url
+    FROM lineitem
+"""
+
+
+def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style URL filtering before fetch (frontier/
+    urlfilter.py — Penedo et al. 2023 §3.1): exact domain blocklist,
+    media-extension exclusion, and the soft weighted word score with a
+    drop threshold, first-matching-rule precedence. Pure codegen scan
+    over a deterministic synthetic URL population; the oracle builds
+    identical URLs. Value-exact DuckDB oracle."""
+    return uf_mod.url_filter(_synthetic_filter_urls(spark, sf_dir))
+
 
 def q_quality_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles of the quality score per language
@@ -2753,6 +2812,8 @@ def queries() -> dict[str, QueryFn]:
         "readability_scores": q_readability_scores,
         # r5: concat-and-chunk sequence-packing placement map
         "pack_chunks": q_pack_chunks,
+        # r5: RefinedWeb URL filtering (blocklist + word score)
+        "url_filter": q_url_filter,
     }
 
 
@@ -3136,6 +3197,9 @@ def oracle_sql() -> dict[str, str]:
         # r5: packing placement — exclusive integer cumsum + DIV, the
         # two-phase global window restated as one SQL window
         "pack_chunks": packg.pack_chunks_sql(),
+        # r5: URL triage — blocklist/extension/word-score dispositions
+        # over a CTE building the identical synthetic URL population
+        "url_filter": uf_mod.url_filter_sql(FILTER_URLS_CTE),
         # r5: greedy maximal matching = a functional-graph walk, so the
         # trained segmenter (fit + apply) oracles as one recursive CTE
         "word_segment": _word_segment_sql_oracle(),
