@@ -19,11 +19,6 @@ def _docs(spark, rows, parts=None):
     return df.repartition(parts) if parts else df
 
 
-def _line(words, n, punct=True):
-    s = " ".join(words for _ in range(n))
-    return s + "." if punct else s
-
-
 # chunk=6: 6-word lines clear the MIN_LINE_WORDS=5 floor, tail chunks don't
 CHUNK = 6
 
@@ -90,13 +85,15 @@ def test_punct_gate(spark):
 @pytest.mark.parametrize("require_punct", [False, True])
 def test_duckdb_twin_on_planted_punctuated_text(spark, require_punct):
     """The registered oracle runs the punct-free corpus; this pins the
-    require_punct variant's twin on text with real punctuation."""
+    require_punct variant's twin on text with real punctuation, plus the
+    NULL-text row (both sides must emit it as an empty page, not drop it)."""
     rows = [
         (0, "Allow six word lines to pass here. Another full sentence of six words!"),
         (1, "no punctuation at all in this one but plenty of words to chunk"),
         (2, "short."),
         (3, "bad viagra page with punctuation everywhere. yes indeed it is one."),
         (4, "JavaScript required. " * 4),
+        (5, None),
     ]
     df = c4.c4_filters(_docs(spark, rows), chunk=6, require_punct=require_punct)
     sdata = sorted(map(tuple, df.collect()))

@@ -90,6 +90,7 @@ def test_gate_window_contract():
         "readability_scores",     # r5: Flesch / Flesch–Kincaid formulas
         "pack_chunks",            # r5: sequence-packing placement map
         "url_filter",             # r5: RefinedWeb URL triage dispositions
+        "co_citation_pairs",      # r5: Small 1973 co-citation similarity
     }
 
 

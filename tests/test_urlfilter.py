@@ -49,6 +49,10 @@ def test_precedence_and_edges(spark):
         "https://h6.example",
         # uppercase extension folds
         "https://h6.example/a/b.JPG",
+        # case-folded matching: mixed-case host/scheme still blocks
+        # (the filter runs pre-canonicalization)
+        "HTTPS://H0.Example/news/x.html",
+        "https://h5.example/CASINO/x.html",
     ])
     assert out["https://h1.example/casino/x.jpg"]["disposition"] == "blocked_domain"
     assert out["https://h6.example/casino/x.jpg"]["disposition"] == "media_extension"
@@ -56,6 +60,8 @@ def test_precedence_and_edges(spark):
     assert bare["extension"] == "" and bare["url_score"] == 0
     assert bare["disposition"] == "keep"
     assert out["https://h6.example/a/b.JPG"]["disposition"] == "media_extension"
+    assert out["HTTPS://H0.Example/news/x.html"]["disposition"] == "blocked_domain"
+    assert out["https://h5.example/CASINO/x.html"]["disposition"] == "word_score"
 
 
 def test_duckdb_twin_on_planted(spark):
@@ -65,6 +71,7 @@ def test_duckdb_twin_on_planted(spark):
         "https://h6.example/stream/video.mp3",
         "https://h7.example",
         "https://h7.example/free/online/casino/x.html",
+        "HTTPS://H1.Example/Stream/Video-9.HTML",
     ]
     df = uf.url_filter(_urls(spark, urls))
     sdata = sorted(map(tuple, df.collect()))

@@ -77,13 +77,17 @@ def url_filter(urls: DataFrame) -> DataFrame:
     first matching rule wins (exact list beats soft score, the
     RefinedWeb precedence).
     """
-    host = F.regexp_extract(F.col("url"), HOST_RE, 1)
-    path = F.regexp_replace(F.col("url"), HOST_RE, "")
+    # match on the case-folded URL: this filter runs BEFORE
+    # canonicalization (pre-fetch triage), so 'HTTPS://H0.Example/...'
+    # must still hit the blocklist; the output keeps the original url
+    lurl = F.lower(F.col("url"))
+    host = F.regexp_extract(lurl, HOST_RE, 1)
+    path = F.regexp_replace(lurl, HOST_RE, "")
     # extension from the PATH, not the raw url: a bare-domain URL must
     # not match its TLD as a file extension
-    ext = F.lower(F.regexp_extract(path, EXT_RE, 1))
+    ext = F.regexp_extract(path, EXT_RE, 1)
     words = F.filter(
-        F.split(F.lower(path), WORD_SPLIT_RE), lambda x: F.length(x) > 0
+        F.split(path, WORD_SPLIT_RE), lambda x: F.length(x) > 0
     )
     score = _score(words)
     return urls.select(
@@ -104,21 +108,22 @@ def url_filter_sql(urls_cte: str) -> str:
     blocked = ", ".join(f"'{d}'" for d in BLOCKED_DOMAINS)
     media = ", ".join(f"'{e}'" for e in MEDIA_EXTENSIONS)
     words = (
-        f"list_filter(string_split_regex(lower("
-        f"regexp_replace(url, '{HOST_RE}', '')), '{WORD_SPLIT_RE}'), "
+        f"list_filter(string_split_regex("
+        f"regexp_replace(lurl, '{HOST_RE}', ''), '{WORD_SPLIT_RE}'), "
         f"x -> length(x) > 0)"
     )
     score = _score_sql(words)
     return f"""
         WITH urls AS ({urls_cte}),
+        low AS (SELECT url, lower(url) AS lurl FROM urls),
         feat AS (
             SELECT url,
-                   regexp_extract(url, '{HOST_RE}', 1) AS host,
-                   lower(regexp_extract(
-                       regexp_replace(url, '{HOST_RE}', ''),
-                       '{EXT_RE}', 1)) AS extension,
+                   regexp_extract(lurl, '{HOST_RE}', 1) AS host,
+                   regexp_extract(
+                       regexp_replace(lurl, '{HOST_RE}', ''),
+                       '{EXT_RE}', 1) AS extension,
                    {score} AS url_score
-            FROM urls
+            FROM low
         )
         SELECT url, host, extension, url_score,
                (CASE WHEN host IN ({blocked}) THEN 'blocked_domain'

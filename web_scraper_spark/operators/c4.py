@@ -40,12 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from web_scraper_spark.operators.text import (
-    clean_text,
-    clean_text_sql,
-    tokens,
-    tokens_sql,
-)
+from web_scraper_spark.operators.text import tokens, tokens_sql
 
 LINE_TOKENS = 12  # synthetic line = 12-token chunk (line_dedup's boundary)
 MIN_LINE_WORDS = 5  # C4: "only retained lines that contained at least 5 words"
@@ -100,7 +95,10 @@ def c4_filters(
     """
     from web_scraper_spark.operators.dedup import _fan_out
 
-    low = F.lower(F.col("text"))
+    # NULL text behaves as empty text (0 lines, flags false) — the twin
+    # coalesces identically, so nullable corpora can't desync the oracle
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    low = F.lower(txt)
     tok = tokens(low)
     # _fan_out: the explode below feeds a partial aggregate; on a
     # single-file small-SF scan that stage would run in ONE task (the
@@ -111,8 +109,8 @@ def c4_filters(
             "has_badword"
         ),
         low.contains("lorem ipsum").alias("has_lorem"),
-        F.col("text").contains("{").alias("has_brace"),
-        F.explode_outer(_line_structs(F.col("text"), chunk)).alias("s"),
+        txt.contains("{").alias("has_brace"),
+        F.explode_outer(_line_structs(txt, chunk)).alias("s"),
     )
     kept = (F.col("s.nw") >= MIN_LINE_WORDS) & ~F.col("s.js")
     if require_punct:
@@ -159,16 +157,19 @@ def c4_filters(
 def c4_filters_sql(chunk: int = LINE_TOKENS, require_punct: bool = False) -> str:
     """DuckDB value-exact twin of :func:`c4_filters`."""
     bad = "[" + ", ".join(f"'{w}'" for w in BAD_WORDS) + "]"
-    tok = tokens_sql("lower(text)")
+    # coalesce mirrors the Spark side: NULL text = empty text
+    tok = tokens_sql("lower(coalesce(text, ''))")
     punct_gate = "AND s.punct " if require_punct else ""
     return f"""
         WITH raw AS (
             SELECT doc_id,
                    list_has_any({tok}, {bad}) AS has_badword,
-                   contains(lower(text), 'lorem ipsum') AS has_lorem,
-                   contains(text, '{{') AS has_brace,
-                   (CASE WHEN length(trim(text)) = 0 THEN []
-                         ELSE regexp_split_to_array(trim(text), '\\s+')
+                   contains(lower(coalesce(text, '')), 'lorem ipsum')
+                       AS has_lorem,
+                   contains(coalesce(text, ''), '{{') AS has_brace,
+                   (CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN []
+                         ELSE regexp_split_to_array(
+                                  trim(coalesce(text, '')), '\\s+')
                     END) AS rt
             FROM documents
         ),

@@ -19,7 +19,13 @@ identical in Spark and the DuckDB oracle):
   one "sentence" there; the planted-text tests exercise multi-sentence
   inputs);
 - syllables(word) = count of vowel-group runs ``[aeiouy]+``, floored at
-  1 per word (the standard heuristic — no dictionary).
+  1 per word (the standard heuristic — no dictionary). Computed WITHOUT
+  a per-token HOF: over the single-space-normalized text,
+  ``Σ_w max(1, vg(w)) = vg_runs(text) + (n_words − n_vowel_words)``
+  since vowel runs never cross the space separator and each word with
+  ≥1 vowel contributes exactly one ``[^ ]*[aeiouy][^ ]*`` match — three
+  codegen regexp scans instead of an interpreted fold that projection
+  collapse would re-run once per referencing output column.
 
 Both component ratios are rounded to 6 dp BEFORE entering the linear
 formulas and the scores re-rounded to 4 dp, the quality_columns recipe:
@@ -30,10 +36,10 @@ The reference computes no readability signal (its only text features
 are the tokenize/stopword chain, /root/reference/ConnectAndSave.py:79-84);
 this implements the published formulas.
 
-Plan shape at 100 TB: sentence and vowel-run counts are codegen regexp
-scans of the text column; the per-word syllable floor is one bounded
-array fold over the token array. No joins, no shuffles, no Python —
-embarrassingly parallel at any scale.
+Plan shape at 100 TB: everything — sentence runs, vowel runs, and the
+vowel-word correction — is a codegen regexp scan of the text column;
+zero HOFs, no joins, no shuffles, no Python — embarrassingly parallel
+at any scale.
 """
 
 from __future__ import annotations
@@ -50,6 +56,7 @@ from web_scraper_spark.operators.text import (
 
 SENTENCE_RE = r"[.!?]+"
 VOWEL_RE = r"[aeiouy]+"
+VOWEL_WORD_RE = r"[^ ]*[aeiouy][^ ]*"  # one match per vowel-bearing word
 
 
 def readability_scores(docs: DataFrame) -> DataFrame:
@@ -64,16 +71,14 @@ def readability_scores(docs: DataFrame) -> DataFrame:
     n_sentences = F.greatest(
         F.regexp_count(low, F.lit(SENTENCE_RE)), F.lit(1)
     ).cast("bigint")
-    # Σ_w max(1, vowel-groups(w)): one interpreted fold over ~doc-length
-    # tokens — same cost model as quality_columns' stopword filter.
-    n_syl = F.aggregate(
-        tok,
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc
-        + F.greatest(F.regexp_count(x, F.lit(VOWEL_RE)), F.lit(1)).cast(
-            "bigint"
-        ),
-    )
+    # Σ_w max(1, vowel-groups(w)) without a HOF (see module docstring):
+    # vowel runs can't cross the space separator, so the per-word sum
+    # decomposes into pure codegen regexp counts over the text.
+    n_syl = (
+        F.regexp_count(low, F.lit(VOWEL_RE))
+        + n_words
+        - F.regexp_count(low, F.lit(VOWEL_WORD_RE))
+    ).cast("bigint")
     safe_words = F.greatest(n_words, F.lit(1)).cast("double")
     wps = F.round(n_words.cast("double") / n_sentences.cast("double"), 6)
     spw = F.round(n_syl.cast("double") / safe_words, 6)
@@ -105,9 +110,10 @@ def readability_scores_sql() -> str:
                    len({tok})::BIGINT AS n_words,
                    greatest(len(regexp_extract_all({low}, '{SENTENCE_RE}')),
                             1)::BIGINT AS n_sentences,
-                   coalesce(list_sum(list_transform({tok},
-                       x -> greatest(len(regexp_extract_all(x, '{VOWEL_RE}')),
-                                     1)::BIGINT)), 0)::BIGINT AS n_syllables
+                   (len(regexp_extract_all({low}, '{VOWEL_RE}'))
+                    + len({tok})
+                    - len(regexp_extract_all({low}, '{VOWEL_WORD_RE}'))
+                   )::BIGINT AS n_syllables
             FROM documents
         ),
         ratios AS (

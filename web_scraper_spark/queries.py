@@ -43,6 +43,7 @@ from web_scraper_spark.frontier import schedule as sch_mod
 from web_scraper_spark.frontier import traps as tr
 from web_scraper_spark.frontier import robots as rb_mod
 from web_scraper_spark.frontier import urlfilter as uf_mod
+from web_scraper_spark.frontier import cocitation as cc_mod
 from web_scraper_spark.operators import graphalgo as ga_mod
 from web_scraper_spark.sources import warc as wa
 from web_scraper_spark.operators import phrase as ph
@@ -1754,6 +1755,15 @@ def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return uf_mod.url_filter(_synthetic_filter_urls(spark, sf_dir))
 
 
+def q_co_citation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-citation link similarity (frontier/cocitation.py — Small 1973):
+    target pairs co-cited by >= 2 common sources over the deterministic
+    synthetic link graph, pair formation via the capped inverted index
+    (per-source fanout cap in dst order, oracle-mirrored — never a
+    crossJoin). Value-exact DuckDB oracle over identical links."""
+    return cc_mod.co_citation(_synthetic_links(spark, sf_dir))
+
+
 def q_quality_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles of the quality score per language
     (the corpus-threshold calibration query a cleaning pipeline runs
@@ -2814,6 +2824,8 @@ def queries() -> dict[str, QueryFn]:
         "pack_chunks": q_pack_chunks,
         # r5: RefinedWeb URL filtering (blocklist + word score)
         "url_filter": q_url_filter,
+        # r5: co-citation link similarity (Small 1973)
+        "co_citation_pairs": q_co_citation_pairs,
     }
 
 
@@ -3200,6 +3212,9 @@ def oracle_sql() -> dict[str, str]:
         # r5: URL triage — blocklist/extension/word-score dispositions
         # over a CTE building the identical synthetic URL population
         "url_filter": uf_mod.url_filter_sql(FILTER_URLS_CTE),
+        # r5: co-citation pairs — capped inverted-index self-join over
+        # the same synthetic link CTE the anchor tier uses
+        "co_citation_pairs": cc_mod.co_citation_sql(LINKS_CTE),
         # r5: greedy maximal matching = a functional-graph walk, so the
         # trained segmenter (fit + apply) oracles as one recursive CTE
         "word_segment": _word_segment_sql_oracle(),
