@@ -91,6 +91,7 @@ def test_gate_window_contract():
         "pack_chunks",            # r5: sequence-packing placement map
         "url_filter",             # r5: RefinedWeb URL triage dispositions
         "co_citation_pairs",      # r5: Small 1973 co-citation similarity
+        "zipf_fit",               # r5: decimal-exact Zipf regression
     }
 
 

@@ -30,6 +30,7 @@ from web_scraper_spark.operators import winnow as winn
 from web_scraper_spark.operators import c4 as c4_mod
 from web_scraper_spark.operators import readability as readb
 from web_scraper_spark.operators import packing as packg
+from web_scraper_spark.operators import zipf as zp_mod
 from web_scraper_spark.operators import lm as lmod
 from web_scraper_spark.operators import dedup as dd
 from web_scraper_spark.operators import multimodal as mm
@@ -1764,6 +1765,16 @@ def q_co_citation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc_mod.co_citation(_synthetic_links(spark, sf_dir))
 
 
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Zipf-law fit (operators/zipf.py — Zipf 1949): the
+    least-squares slope/intercept over (ln rank, ln freq), every float
+    sum an order-independent DECIMAL(18,6) fold of 6-dp-rounded terms
+    (the dec_sum money discipline applied to regression — partial
+    aggregation can never move the result). Value-exact DuckDB
+    oracle."""
+    return zp_mod.zipf_fit(_docs(spark, sf_dir))
+
+
 def q_quality_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles of the quality score per language
     (the corpus-threshold calibration query a cleaning pipeline runs
@@ -2826,6 +2837,8 @@ def queries() -> dict[str, QueryFn]:
         "url_filter": q_url_filter,
         # r5: co-citation link similarity (Small 1973)
         "co_citation_pairs": q_co_citation_pairs,
+        # r5: Zipf-law fit via order-independent decimal regression
+        "zipf_fit": q_zipf_fit,
     }
 
 
@@ -3215,6 +3228,9 @@ def oracle_sql() -> dict[str, str]:
         # r5: co-citation pairs — capped inverted-index self-join over
         # the same synthetic link CTE the anchor tier uses
         "co_citation_pairs": cc_mod.co_citation_sql(LINKS_CTE),
+        # r5: Zipf regression — 6-dp terms summed as DECIMAL(18,6), so
+        # the float sums are associative and engine-identical
+        "zipf_fit": zp_mod.zipf_fit_sql(),
         # r5: greedy maximal matching = a functional-graph walk, so the
         # trained segmenter (fit + apply) oracles as one recursive CTE
         "word_segment": _word_segment_sql_oracle(),
