@@ -61,6 +61,31 @@ def test_duckdb_twin_on_planted(spark):
     assert sdata == odata
 
 
+def test_coupling_is_transpose(spark):
+    rows = [
+        ("s1", "a"), ("s1", "b"),
+        ("s2", "a"), ("s2", "b"),
+        ("s3", "b"),
+    ]
+    out = {(r["url_a"], r["url_b"]): r["n_common_dsts"]
+           for r in cc.bib_coupling(_links(spark, rows), min_common=1).collect()}
+    # s1 and s2 share {a, b}; s3 shares only b with each
+    assert out[("s1", "s2")] == 2
+    assert out[("s1", "s3")] == 1 and out[("s2", "s3")] == 1
+
+
+def test_coupling_duckdb_twin(spark):
+    rows = [(f"s{i % 5}", f"d{(i * 7) % 9}") for i in range(40)]
+    df = cc.bib_coupling(_links(spark, rows), fanout_cap=3, min_common=1)
+    sdata = sorted(map(tuple, df.collect()))
+    con = duckdb.connect()
+    con.register("planted", pd.DataFrame(rows, columns=["src", "dst"]))
+    odata = sorted(map(tuple, con.execute(
+        cc.bib_coupling_sql("SELECT src, dst FROM planted",
+                            fanout_cap=3, min_common=1)).fetchall()))
+    assert sdata == odata
+
+
 def test_plan_shape(spark):
     df = cc.co_citation(_links(spark, [("s", "a"), ("s", "b")]))
     plan = df._jdf.queryExecution().executedPlan().toString()

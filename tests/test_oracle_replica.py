@@ -92,6 +92,7 @@ def test_gate_window_contract():
         "url_filter",             # r5: RefinedWeb URL triage dispositions
         "co_citation_pairs",      # r5: Small 1973 co-citation similarity
         "zipf_fit",               # r5: decimal-exact Zipf regression
+        "bib_coupling_pairs",     # r5: Kessler 1963 coupling (transpose)
     }
 
 

@@ -67,6 +67,25 @@ def co_citation(
     )
 
 
+def bib_coupling(
+    links: DataFrame,
+    fanout_cap: int = FANOUT_CAP,
+    min_common: int = MIN_COMMON,
+) -> DataFrame:
+    """Bibliographic coupling (Kessler 1963): SOURCE pairs linking >=
+    ``min_common`` common targets — exactly co-citation on the
+    transposed link graph, so the same capped-inverted-index plan runs
+    with the edge reversed (the cap becomes a per-TARGET indegree cap,
+    bounding hot sinks the way the fanout cap bounds hub pages).
+    Returns (url_a, url_b, n_common_dsts)."""
+    flipped = links.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    return co_citation(flipped, fanout_cap, min_common).select(
+        "url_a", "url_b", F.col("n_common_srcs").alias("n_common_dsts")
+    )
+
+
 def co_citation_sql(
     links_cte: str,
     fanout_cap: int = FANOUT_CAP,
@@ -88,4 +107,19 @@ def co_citation_sql(
         FROM ranked a JOIN ranked b ON a.src = b.src AND a.dst < b.dst
         GROUP BY 1, 2
         HAVING count(*) >= {min_common}
+    """
+
+
+def bib_coupling_sql(
+    links_cte: str,
+    fanout_cap: int = FANOUT_CAP,
+    min_common: int = MIN_COMMON,
+) -> str:
+    """DuckDB twin of :func:`bib_coupling` — the co-citation body over
+    the transposed edge list, count column renamed."""
+    flipped = f"SELECT dst AS src, src AS dst FROM ({links_cte})"
+    body = co_citation_sql(flipped, fanout_cap, min_common)
+    return f"""
+        SELECT url_a, url_b, n_common_srcs AS n_common_dsts
+        FROM ({body})
     """

@@ -1765,6 +1765,15 @@ def q_co_citation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc_mod.co_citation(_synthetic_links(spark, sf_dir))
 
 
+def q_bib_coupling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bibliographic coupling (frontier/cocitation.py — Kessler 1963):
+    source pairs sharing >= 2 linked targets — co-citation on the
+    transposed graph, same capped inverted index (the cap bounding hot
+    TARGETS' indegree). Value-exact DuckDB oracle over identical
+    links."""
+    return cc_mod.bib_coupling(_synthetic_links(spark, sf_dir))
+
+
 def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language Zipf-law fit (operators/zipf.py — Zipf 1949): the
     least-squares slope/intercept over (ln rank, ln freq), every float
@@ -2839,6 +2848,8 @@ def queries() -> dict[str, QueryFn]:
         "co_citation_pairs": q_co_citation_pairs,
         # r5: Zipf-law fit via order-independent decimal regression
         "zipf_fit": q_zipf_fit,
+        # r5: bibliographic coupling (Kessler 1963, the transpose)
+        "bib_coupling_pairs": q_bib_coupling_pairs,
     }
 
 
@@ -3231,6 +3242,8 @@ def oracle_sql() -> dict[str, str]:
         # r5: Zipf regression — 6-dp terms summed as DECIMAL(18,6), so
         # the float sums are associative and engine-identical
         "zipf_fit": zp_mod.zipf_fit_sql(),
+        # r5: coupling — the co-citation body over the transposed edges
+        "bib_coupling_pairs": cc_mod.bib_coupling_sql(LINKS_CTE),
         # r5: greedy maximal matching = a functional-graph walk, so the
         # trained segmenter (fit + apply) oracles as one recursive CTE
         "word_segment": _word_segment_sql_oracle(),
