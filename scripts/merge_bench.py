@@ -32,14 +32,14 @@ def merge(paths: list[str]) -> dict:
 if __name__ == "__main__":
     out_path, *rep_paths = sys.argv[1:]
     merged = merge(rep_paths)
+    # rep-specific provenance (which rep first timed which queries, any
+    # post-merge splices) is appended by hand in the committed artifact
     merged["protocol_note"] = (
         f"per-query minima across {len(rep_paths)} same-engine full-coverage "
         f"runs ({', '.join(p.split('/')[-1] for p in rep_paths)} — hypervisor "
         "throttle waves inflate identical code; the in-run best-of-2 rule "
         "extended across runs); headline/frontier/parse/crawl sections from "
-        "the least-contended run. rep3/rep4 add the round-5 relational "
-        "similarity tier + word_segment; rep5 adds dsir_sample, warc_records "
-        "and sessionize_stream; rep6 adds pmi_collocations."
+        "the least-contended run."
     )
     with open(out_path, "w") as f:
         json.dump(merged, f, indent=2, sort_keys=True)
