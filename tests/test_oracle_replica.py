@@ -93,6 +93,7 @@ def test_gate_window_contract():
         "co_citation_pairs",      # r5: Small 1973 co-citation similarity
         "zipf_fit",               # r5: decimal-exact Zipf regression
         "bib_coupling_pairs",     # r5: Kessler 1963 coupling (transpose)
+        "winnow_overlap_pairs",   # r5: MOSS matching via fp inverted index
     }
 
 

@@ -98,6 +98,54 @@ def test_density_bound(spark):
     assert len(sel) < n_grams / 2
 
 
+def test_overlap_pairs_detect_shared_passage(spark):
+    """Two docs sharing an 8-token passage must pair up (the winnowing
+    guarantee carried through the matching step); unrelated docs with
+    distinct vocabulary must not."""
+    shared = "one two three four five six seven eight nine ten"
+    rows = [
+        (0, f"{_sentence(1, 10)} {shared} {_sentence(2, 10)}"),
+        (1, f"{_sentence(3, 6)} {shared} {_sentence(4, 14)}"),
+        (2, "qq ww ee rr tt yy uu ii oo pp aa ss dd ff gg hh"),
+    ]
+    out = {(r["doc_a"], r["doc_b"]): r["n_shared_fps"]
+           for r in winnow.winnow_overlap_pairs(
+               _docs(spark, rows), min_shared=1).collect()}
+    assert (0, 1) in out and out[(0, 1)] >= 1
+    assert not any(2 in p for p in out)
+
+
+def test_overlap_pairs_boilerplate_cap(spark):
+    """A fingerprint held by more than max_fp_df docs is dropped before
+    pair formation — a boilerplate page replicated everywhere must not
+    produce all-pairs output (every one of its fps has df = 6 > cap)."""
+    boiler = "standard footer text appears on every page here today"
+    rows = [(i, boiler) for i in range(6)]
+    out = winnow.winnow_overlap_pairs(
+        _docs(spark, rows), max_fp_df=3, min_shared=1).collect()
+    assert out == []
+    # with the cap above the replica count the same corpus is all-pairs
+    out2 = winnow.winnow_overlap_pairs(
+        _docs(spark, rows), max_fp_df=6, min_shared=1).collect()
+    assert len(out2) == 15
+
+
+def test_overlap_pairs_duckdb_twin(spark):
+    import duckdb
+    import pandas as pd
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(i, f"{_sentence(i, 8)} {shared} {_sentence(i + 3, 8)}")
+            for i in range(5)] + [(9, _sentence(9, 25))]
+    df = winnow.winnow_overlap_pairs(_docs(spark, rows), min_shared=1)
+    sdata = sorted(map(tuple, df.collect()))
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    odata = sorted(map(tuple, con.execute(
+        winnow.winnow_overlap_pairs_sql(min_shared=1)).fetchall()))
+    assert sdata == odata and len(sdata) >= 10  # the 5 sharers all pair
+
+
 def test_partition_invariant(spark):
     rows = [(i, _sentence(i, 30)) for i in range(10)]
     a = sorted(map(tuple, winnow.winnow_fingerprints(_docs(spark, rows, 1)).collect()))

@@ -70,22 +70,7 @@ def winnow_fingerprints(docs: DataFrame, w: int = WINDOW_W) -> DataFrame:
     fold. Documents with fewer than GRAM_K tokens have no grams and
     report all-zero.
     """
-    from web_scraper_spark.operators.dedup import _fan_out
-
-    # _fan_out: a small-SF table is one parquet file; the explode below
-    # would otherwise serialize through a single task (the
-    # search._postings pathology). No-op at production scale.
-    grams = (
-        _fan_out(docs.select("doc_id", "text"))
-        .select("doc_id", F.posexplode(_gram_hashes(F.col("text"))).alias("pos", "h"))
-    )
-    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
-    sel = (
-        grams.select("doc_id", F.min("h").over(win).alias("fp"))
-        # each position selects exactly one fp, so sum(n_sel) = n_grams
-        .groupBy("doc_id", "fp")
-        .agg(F.count("*").cast("bigint").alias("n_sel"))
-    )
+    sel = _selected(docs, w)
     per = sel.groupBy("doc_id").agg(
         F.sum("n_sel").cast("bigint").alias("n_grams"),
         F.count("*").cast("bigint").alias("n_fps"),
@@ -102,6 +87,105 @@ def winnow_fingerprints(docs: DataFrame, w: int = WINDOW_W) -> DataFrame:
         F.coalesce("fp_max", z).alias("fp_max"),
         F.coalesce("fp_xor", z).alias("fp_xor"),
     )
+
+
+FP_MAX_DF = 64  # fingerprints shared by more docs are boilerplate — drop
+MIN_SHARED = 2  # report pairs sharing at least this many fingerprints
+
+
+def _selected(docs: DataFrame, w: int) -> DataFrame:
+    """The shared winnowing pipeline: distinct (doc_id, fp, n_sel) rows —
+    each document's selected fingerprints with the number of windows
+    selecting them (every position selects exactly one fp, so
+    sum(n_sel) per doc = gram count). One explode of 8-byte hashes, one
+    doc_id shuffle serving window + distinct."""
+    from web_scraper_spark.operators.dedup import _fan_out
+
+    grams = _fan_out(docs.select("doc_id", "text")).select(
+        "doc_id", F.posexplode(_gram_hashes(F.col("text"))).alias("pos", "h")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    return (
+        grams.select("doc_id", F.min("h").over(win).alias("fp"))
+        .groupBy("doc_id", "fp")
+        .agg(F.count("*").cast("bigint").alias("n_sel"))
+    )
+
+
+def winnow_overlap_pairs(
+    docs: DataFrame,
+    w: int = WINDOW_W,
+    max_fp_df: int = FP_MAX_DF,
+    min_shared: int = MIN_SHARED,
+) -> DataFrame:
+    """The MOSS matching step: document pairs sharing >= ``min_shared``
+    selected fingerprints — local-overlap near-dup detection that
+    catches a copied passage the global MinHash sketch dilutes (any
+    shared run of k + w - 1 tokens forces >= 1 common fingerprint).
+
+    Pair formation is the inverted-index discipline: fingerprints held
+    by more than ``max_fp_df`` documents are boilerplate and dropped
+    BEFORE the self-join (the postings max_df / LSH bucket-cap rule —
+    deterministic, oracle-mirrored, and it bounds any fingerprint's pair
+    contribution at max_fp_df²/2). Returns (doc_a, doc_b, n_shared_fps).
+    """
+    # eager localCheckpoint: sel feeds BOTH the df filter and the join
+    sel = _selected(docs, w).drop("n_sel").localCheckpoint(eager=True)
+    df_t = sel.groupBy("fp").agg(F.count("*").alias("fp_df"))
+    kept = sel.join(
+        df_t.where(F.col("fp_df") <= max_fp_df).select("fp"), on="fp"
+    )
+    a = kept.alias("a")
+    b = kept.alias("b")
+    return (
+        a.join(b, on="fp")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_shared_fps"))
+        .where(F.col("n_shared_fps") >= min_shared)
+    )
+
+
+def winnow_overlap_pairs_sql(
+    w: int = WINDOW_W,
+    max_fp_df: int = FP_MAX_DF,
+    min_shared: int = MIN_SHARED,
+) -> str:
+    """DuckDB value-exact twin of :func:`winnow_overlap_pairs`."""
+    tok = tokens_sql(f"lower({clean_text_sql('text')})")
+    grams = word_shingles_sql("tok", GRAM_K)
+    h = hash60_sql("g")
+    return f"""
+        WITH base AS (SELECT doc_id, {tok} AS tok FROM documents),
+        gs AS (SELECT doc_id, list_transform({grams}, g -> {h}) AS hs
+               FROM base),
+        g AS (
+            SELECT doc_id, s.pos AS pos, s.h AS h
+            FROM (SELECT doc_id, unnest(
+                      list_transform(range(len(hs)),
+                                     i -> {{'pos': i, 'h': hs[i + 1]}})) AS s
+                  FROM gs)
+        ),
+        sel AS (
+            SELECT DISTINCT doc_id,
+                   min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN CURRENT ROW
+                                AND {w - 1} FOLLOWING) AS fp
+            FROM g
+        ),
+        kept AS (
+            SELECT doc_id, fp FROM sel
+            WHERE fp IN (SELECT fp FROM sel GROUP BY fp
+                         HAVING count(*) <= {max_fp_df})
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               count(*)::BIGINT AS n_shared_fps
+        FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= {min_shared}
+    """
 
 
 def winnow_fingerprints_sql(w: int = WINDOW_W) -> str:

@@ -1765,6 +1765,16 @@ def q_co_citation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc_mod.co_citation(_synthetic_links(spark, sf_dir))
 
 
+def q_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MOSS matching step (operators/winnow.py): document pairs
+    sharing >= 2 selected winnowing fingerprints — local-overlap
+    near-dup detection (a copied >= k+w-1-token passage forces a shared
+    fingerprint). Boilerplate fps dropped by the max-df rule BEFORE the
+    inverted-index self-join (cap oracle-mirrored). Value-exact DuckDB
+    oracle."""
+    return winn.winnow_overlap_pairs(_docs(spark, sf_dir))
+
+
 def q_bib_coupling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bibliographic coupling (frontier/cocitation.py — Kessler 1963):
     source pairs sharing >= 2 linked targets — co-citation on the
@@ -2850,6 +2860,8 @@ def queries() -> dict[str, QueryFn]:
         "zipf_fit": q_zipf_fit,
         # r5: bibliographic coupling (Kessler 1963, the transpose)
         "bib_coupling_pairs": q_bib_coupling_pairs,
+        # r5: MOSS matching — winnowing fingerprint overlap pairs
+        "winnow_overlap_pairs": q_winnow_overlap_pairs,
     }
 
 
@@ -3244,6 +3256,8 @@ def oracle_sql() -> dict[str, str]:
         "zipf_fit": zp_mod.zipf_fit_sql(),
         # r5: coupling — the co-citation body over the transposed edges
         "bib_coupling_pairs": cc_mod.bib_coupling_sql(LINKS_CTE),
+        # r5: MOSS matching — selected-fp inverted index, max-df cap
+        "winnow_overlap_pairs": winn.winnow_overlap_pairs_sql(),
         # r5: greedy maximal matching = a functional-graph walk, so the
         # trained segmenter (fit + apply) oracles as one recursive CTE
         "word_segment": _word_segment_sql_oracle(),
