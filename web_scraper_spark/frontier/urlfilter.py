@@ -45,7 +45,7 @@ SCORE_THRESHOLD = 50  # drop when the summed word score reaches this
 MEDIA_EXTENSIONS = ["jpg", "jpeg", "png", "gif", "mp3", "mp4", "zip", "exe"]
 
 HOST_RE = r"^[a-z]+://([^/:]+)"
-EXT_RE = r"\.([A-Za-z0-9]+)$"
+EXT_RE = r"\.([a-z0-9]+)$"  # applied to the case-folded path
 WORD_SPLIT_RE = r"[^a-z0-9]+"
 
 
