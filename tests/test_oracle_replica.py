@@ -94,6 +94,7 @@ def test_gate_window_contract():
         "zipf_fit",               # r5: decimal-exact Zipf regression
         "bib_coupling_pairs",     # r5: Kessler 1963 coupling (transpose)
         "winnow_overlap_pairs",   # r5: MOSS matching via fp inverted index
+        "winnow_incremental",     # r5: delta-vs-index MOSS, union-subset twin
     }
 
 

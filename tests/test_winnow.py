@@ -146,6 +146,58 @@ def test_overlap_pairs_duckdb_twin(spark):
     assert sdata == odata and len(sdata) >= 10  # the 5 sharers all pair
 
 
+def test_incremental_equals_union_subset(spark):
+    """The delta-vs-corpus incremental matcher must equal the full
+    union run restricted to delta-involving pairs — including the cap
+    interplay (a fingerprint pushed over max_fp_df by the delta drops
+    on both paths)."""
+    shared = "red orange yellow green blue indigo violet ultra"
+    boiler = "common banner words repeated on every single page now"
+    corpus_rows = [
+        (0, f"{boiler} {_sentence(0, 8)} {shared}"),
+        (1, f"{boiler} {_sentence(1, 12)}"),
+        (2, f"{boiler} {shared} {_sentence(2, 9)}"),
+        (3, _sentence(3, 20)),
+    ]
+    delta_rows = [
+        (10, f"{boiler} {shared} {_sentence(4, 7)}"),
+        (11, f"{_sentence(5, 10)} {shared}"),
+    ]
+    kw = dict(max_fp_df=4, min_shared=1)
+    corpus_fps = winnow.build_winnow_index(_docs(spark, corpus_rows))
+    inc = sorted(map(tuple, winnow.winnow_overlap_incremental(
+        corpus_fps, _docs(spark, delta_rows), **kw).collect()))
+    union = winnow.winnow_overlap_pairs(
+        _docs(spark, corpus_rows + delta_rows), **kw)
+    delta_ids = {10, 11}
+    full = sorted(
+        t for t in map(tuple, union.collect())
+        if t[0] in delta_ids or t[1] in delta_ids
+    )
+    assert inc == full and len(inc) >= 3  # the sharers pair up
+
+
+def test_incremental_plan_never_touches_corpus_text(spark):
+    """The corpus is never re-fingerprinted: fingerprinting costs one
+    Generate (the gram explode), and the incremental matcher's own plan
+    has ZERO — the delta's single explode ran inside its eager
+    checkpoint job and the corpus enters as the persisted fingerprint
+    table."""
+    sel_plan = (
+        winnow.build_winnow_index(_docs(spark, [(9, _sentence(9, 15))]))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert sel_plan.count("Generate") == 1, sel_plan
+    corpus_fps = winnow.build_winnow_index(
+        _docs(spark, [(i, _sentence(i, 15)) for i in range(4)])
+    ).localCheckpoint(eager=True)
+    df = winnow.winnow_overlap_incremental(
+        corpus_fps, _docs(spark, [(9, _sentence(9, 15))]))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Generate") == 0, plan
+    assert "SinglePartition" not in plan
+
+
 def test_partition_invariant(spark):
     rows = [(i, _sentence(i, 30)) for i in range(10)]
     a = sorted(map(tuple, winnow.winnow_fingerprints(_docs(spark, rows, 1)).collect()))

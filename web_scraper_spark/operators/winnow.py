@@ -148,6 +148,71 @@ def winnow_overlap_pairs(
     )
 
 
+def build_winnow_index(docs: DataFrame, w: int = WINDOW_W) -> DataFrame:
+    """The persistable fingerprint index: distinct (doc_id, fp) selected
+    pairs — write this once per corpus (parquet, bucketed by fp at
+    production scale) and match every future batch against it with
+    :func:`winnow_overlap_incremental` without ever re-fingerprinting
+    the corpus (the build_postings_index / sketch_docs discipline)."""
+    return _selected(docs, w).drop("n_sel")
+
+
+def winnow_overlap_incremental(
+    corpus_fps: DataFrame,
+    delta_docs: DataFrame,
+    w: int = WINDOW_W,
+    max_fp_df: int = FP_MAX_DF,
+    min_shared: int = MIN_SHARED,
+) -> DataFrame:
+    """Incremental MOSS matching: a NEW batch against the PERSISTED
+    fingerprint index — the production loop (daily crawl increment vs
+    historical corpus) where re-fingerprinting the corpus would be
+    O(corpus) per batch.
+
+    ``corpus_fps`` is the persisted output of :func:`build_winnow_index`;
+    corpus TEXT is never touched and the only Generate in the plan is
+    the delta's own gram explode (plan-asserted in tests/test_winnow.py).
+
+    Result contract (the delta_near_dups union-subset identity):
+    exactly ``winnow_overlap_pairs(corpus ∪ delta)`` restricted to pairs
+    with at least one delta doc. That restriction makes the computation
+    O(|delta| + touched postings): every shared fingerprint of a
+    delta-involving pair is BY DEFINITION held by a delta doc, so the
+    corpus index is semi-join-pruned to delta-touched fingerprints
+    before anything else — and for those fingerprints the pruned frame
+    still holds EVERY union holder, so the max-df boilerplate cap counts
+    corpus+delta members together exactly as the union run would (a
+    fingerprint pushed over the cap by the delta is dropped on both
+    paths).
+    """
+    dsel = _selected(delta_docs, w).drop("n_sel").localCheckpoint(eager=True)
+    touched = dsel.select("fp").distinct()
+    corpus_touched = corpus_fps.join(touched, on="fp", how="leftsemi")
+    union_touched = corpus_touched.unionByName(dsel).distinct()
+    df_t = union_touched.groupBy("fp").agg(F.count("*").alias("fp_df"))
+    kept = union_touched.join(
+        df_t.where(F.col("fp_df") <= max_fp_df).select("fp"), on="fp"
+    )
+    delta_ids = dsel.select("doc_id").distinct().withColumn(
+        "_is_delta", F.lit(True)
+    )
+    marked = kept.join(delta_ids, on="doc_id", how="left").select(
+        "doc_id", "fp", F.coalesce("_is_delta", F.lit(False)).alias("_d")
+    )
+    a = marked.alias("a")
+    b = marked.alias("b")
+    return (
+        a.join(b, on="fp")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .where(F.col("a._d") | F.col("b._d"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_shared_fps"))
+        .where(F.col("n_shared_fps") >= min_shared)
+    )
+
+
 def winnow_overlap_pairs_sql(
     w: int = WINDOW_W,
     max_fp_df: int = FP_MAX_DF,

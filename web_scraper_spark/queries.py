@@ -1775,6 +1775,23 @@ def q_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winn.winnow_overlap_pairs(_docs(spark, sf_dir))
 
 
+def q_winnow_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MOSS matching (winn.winnow_overlap_incremental): docs
+    with doc_id % 10 == 0 are the new batch, the rest the persisted
+    fingerprint index — the corpus is never re-fingerprinted (zero
+    Generates in the match plan, plan-asserted). VALUE-EXACT oracled via
+    the union-subset identity: winnow_overlap_pairs over ALL documents
+    restricted to delta-involving pairs (the incremental_dedup
+    recipe)."""
+    docs = _docs(spark, sf_dir)
+    corpus_fps = winn.build_winnow_index(
+        docs.where(F.col("doc_id") % 10 != 0)
+    ).localCheckpoint(eager=True)
+    return winn.winnow_overlap_incremental(
+        corpus_fps, docs.where(F.col("doc_id") % 10 == 0)
+    )
+
+
 def q_bib_coupling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bibliographic coupling (frontier/cocitation.py — Kessler 1963):
     source pairs sharing >= 2 linked targets — co-citation on the
@@ -2862,6 +2879,8 @@ def queries() -> dict[str, QueryFn]:
         "bib_coupling_pairs": q_bib_coupling_pairs,
         # r5: MOSS matching — winnowing fingerprint overlap pairs
         "winnow_overlap_pairs": q_winnow_overlap_pairs,
+        # r5: incremental MOSS matching vs the persisted fp index
+        "winnow_incremental": q_winnow_incremental,
     }
 
 
@@ -3258,6 +3277,12 @@ def oracle_sql() -> dict[str, str]:
         "bib_coupling_pairs": cc_mod.bib_coupling_sql(LINKS_CTE),
         # r5: MOSS matching — selected-fp inverted index, max-df cap
         "winnow_overlap_pairs": winn.winnow_overlap_pairs_sql(),
+        # r5: incremental MOSS — union-subset identity twin (the full
+        # matcher restricted to pairs with a delta member)
+        "winnow_incremental": f"""
+            SELECT * FROM ({winn.winnow_overlap_pairs_sql()})
+            WHERE doc_a % 10 = 0 OR doc_b % 10 = 0
+        """,
         # r5: greedy maximal matching = a functional-graph walk, so the
         # trained segmenter (fit + apply) oracles as one recursive CTE
         "word_segment": _word_segment_sql_oracle(),
